@@ -1,0 +1,177 @@
+"""Structured configuration.
+
+Replaces the reference's ~110-flag monolithic argparse
+(/root/reference/utils/common.py:208-370) with a dataclass keeping the
+same semantic fields and defaults (Cityscapes stage-1 values from
+script/open_source/train_city_mul_res50.sh), plus `preprocess`-style
+path derivation (utils/common.py:142-175) and cross-field assertions
+(arg_assert, :177-201). A CLI shim maps the reference flag names onto the
+dataclass so the published recipes keep working.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass
+class Config:
+    # --- model -------------------------------------------------------------
+    model: str = "deeplabv3pluswn_resnet50deepstem"
+    num_classes: int = 19
+    output_stride: int = 16
+    separable_conv: bool = False
+
+    # --- plugins (string-keyed, like the reference importlib registry) -----
+    method: str = "active_joint_multi_predignore_lossdecomp"
+    loader: str = "region_cityscapes_or_tensor"
+    active_method: str = "my_bvsb_predclsbal_pwr_banignore"
+    init_active_method: str = "my_random"
+
+    # --- dataset -----------------------------------------------------------
+    dataset: str = "cityscapes"           # or "voc"
+    data_root: str = "./data"
+    datalist_dir: str = ""                # derived when empty
+    trg_datalist: str = ""                # derived
+    region_dict: str = ""                 # derived
+    nseg: int = 2048
+    small_nseg: int = 32768
+    spx_method: str = "seeds"
+    ignore_idx: int = 255
+    or_labeling: bool = True
+    dominant_labeling: bool = False
+    trim_multihot_boundary: bool = True
+    trim_kernel_size: int = 5
+    ignore_size: int = 0
+    mark_topk: int = -1
+    train_transform: str = "rescale_769_multi_notrg"
+    val_transform: str = "eval"
+    crop_size: Tuple[int, int] = (768, 768)
+
+    # --- training ----------------------------------------------------------
+    optimizer: str = "adamw"
+    train_lr: float = 2e-5
+    cls_lr_scale: float = 10.0
+    weight_decay: float = 5e-4
+    scheduler: str = "poly"
+    power: float = 0.9
+    min_lr: float = 1e-6
+    finetune_itrs: int = 80_000
+    val_period: int = 10_000
+    train_batch_size: int = 4
+    val_batch_size: int = 4
+    num_workers: int = 8
+    val_num_workers: int = 8
+    loss_type: str = "joint_multi_loss"
+    ce_temp: float = 0.1
+    multi_ce_temp: float = 0.1
+    group_ce_temp: float = 0.1
+    coeff: float = 16.0
+    coeff_mc: float = 8.0
+    coeff_gm: float = 1.0
+    group_only_single: bool = False
+    gumbel_scale: float = -1.0
+
+    # --- active learning protocol -------------------------------------------
+    max_iterations: int = 5
+    active_selection_size: int = 100_000
+    init_iteration: int = 1
+    start_over: bool = True
+    fair_counting: bool = True
+    cls_weight_coeff: float = 8.0
+    save_scores: bool = False
+
+    # --- stage 2 / pseudo labels --------------------------------------------
+    stage2: bool = False
+    plbl_type: Optional[str] = None
+    cosprop_threshold_method: str = "median"
+    save_vis: bool = False
+
+    # --- checkpoints / resume ------------------------------------------------
+    model_save_dir: str = "./checkpoints/run0"
+    init_checkpoint: str = ""
+    resume_checkpoint: str = ""
+    datalist_path: str = ""
+
+    # --- system ---------------------------------------------------------------
+    seed: int = 0
+    dtype: str = "bfloat16"              # compute dtype for conv stack
+    profile: bool = False
+    debug_nans: bool = False
+    n_devices: Optional[int] = None      # data-parallel width (None = all)
+
+    @property
+    def num_model_classes(self) -> int:
+        """predignore methods add one 'undefined' output class
+        (trainer/active_joint_multi_predignore.py:139-144)."""
+        if "predignore" in self.method:
+            return self.num_classes + 1
+        return self.num_classes
+
+    def validate(self):
+        """arg_assert equivalents (utils/common.py:177-201)."""
+        if self.dataset == "voc":
+            assert self.num_classes == 21
+        if self.dataset == "cityscapes":
+            assert self.num_classes == 19
+        if self.or_labeling:
+            assert "or" in self.loader or "tensor" in self.loader or \
+                self.loader.startswith("synthetic")
+        if "plbl" in self.loader:
+            assert self.stage2
+        assert self.train_batch_size >= 1
+
+    def derive_paths(self):
+        """preprocess equivalents (utils/common.py:142-175)."""
+        if not self.datalist_dir:
+            self.datalist_dir = f"dataloader/init_data/{self.dataset}"
+        if not self.trg_datalist:
+            self.trg_datalist = os.path.join(
+                self.datalist_dir, f"train_seed{self.nseg}.txt")
+        if not self.region_dict:
+            self.region_dict = os.path.join(self.datalist_dir, "train.dict")
+        return self
+
+
+def voc_defaults(cfg: Optional[Config] = None) -> Config:
+    """VOC recipe defaults (utils/common_voc.py diff: 21 classes, nseg 150,
+    batch 12, 30k iters, crop 513, lr 1e-5)."""
+    cfg = cfg or Config()
+    return dataclasses.replace(
+        cfg, dataset="voc", num_classes=21, nseg=150, small_nseg=600,
+        train_batch_size=12, finetune_itrs=30_000, crop_size=(513, 513),
+        train_lr=1e-5, active_selection_size=10_000,
+        train_transform="rescale_513_multi_notrg",
+        loader="region_voc_or_tensor")
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    """CLI shim with the reference's flag names for the fields that matter."""
+    p = argparse.ArgumentParser("mulactseg_tpu")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=f.default)
+        elif f.name in ("crop_size",):
+            p.add_argument(name, type=int, nargs=2, default=f.default)
+        elif f.default is None:
+            p.add_argument(name, default=None)
+        else:
+            p.add_argument(name, type=type(f.default), default=f.default)
+    return p
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
+    args = build_argparser().parse_args(argv)
+    cfg = Config(**{f.name: getattr(args, f.name)
+                    for f in dataclasses.fields(Config)})
+    if isinstance(cfg.crop_size, list):
+        cfg.crop_size = tuple(cfg.crop_size)
+    cfg.derive_paths()
+    cfg.validate()
+    return cfg

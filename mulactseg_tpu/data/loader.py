@@ -1,0 +1,100 @@
+"""Host-side batching and prefetch.
+
+The reference uses torch DataLoader worker processes + an infinite
+DataProvider wrapper (/root/reference/dataloader/utils.py:28-62). Here a
+thread-pool decodes/transforms samples while the TPU computes, with the
+same collate semantics (stack known array keys, list the rest,
+dataloader/utils.py:10-25).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+_ARRAY_KEYS = ("images", "labels", "target", "spx", "spmask", "spx_small")
+
+
+def collate(samples: List[Dict]) -> Dict:
+    out: Dict = {}
+    for k in samples[0].keys():
+        vals = [s[k] for s in samples]
+        if k in _ARRAY_KEYS:
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataProvider:
+    """Infinite (or single-epoch) iterator of collated numpy batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_last: bool = True, infinite: bool = True,
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.rng = np.random.RandomState(seed)
+        self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
+        self.prefetch = prefetch
+        self._iter = None
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        while True:
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last \
+                else len(idx)
+            for i in range(0, stop, self.batch_size):
+                yield idx[i:i + self.batch_size]
+            if not self.infinite:
+                return
+
+    def _gen(self):
+        pending = queue.Queue()
+        batches = self._index_batches()
+
+        def submit_next():
+            try:
+                b = next(batches)
+            except StopIteration:
+                return False
+            fut = self.pool.submit(
+                lambda ids: collate([self.dataset[int(j)] for j in ids]), b)
+            pending.put(fut)
+            return True
+
+        alive = True
+        for _ in range(self.prefetch):
+            alive = submit_next() and alive
+        while not pending.empty():
+            fut = pending.get()
+            yield fut.result()
+            if alive:
+                alive = submit_next()
+
+    def __iter__(self):
+        return self._gen()
+
+    def __next__(self):
+        if self._iter is None:
+            self._iter = self._gen()
+        try:
+            return next(self._iter)
+        except StopIteration:
+            self._iter = self._gen()
+            return next(self._iter)

@@ -1,0 +1,132 @@
+"""Paired image+label-list transforms (host side, numpy/PIL).
+
+Re-implementation of the reference's ext_transforms pipeline
+(/root/reference/dataloader/ext_transforms.py) with the same semantics:
+random scale (0.5-2.0, bilinear image / nearest labels), random crop with
+*per-label pad values* (ignore_idx for GT, nseg for superpixel maps —
+dataloader/transform.py:62), horizontal flip, ImageNet normalization.
+Images come out NHWC float32 — TPU-native layout.
+
+The named-transform registry mirrors dataloader/transform.py:5-171 /
+transform_voc.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+from mulactseg_tpu.data.constants import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _to_pil(img) -> Image.Image:
+    if isinstance(img, Image.Image):
+        return img
+    return Image.fromarray(img)
+
+
+def resize_image(img: np.ndarray, size_hw: Tuple[int, int],
+                 nearest: bool = False) -> np.ndarray:
+    mode = Image.NEAREST if nearest else Image.BILINEAR
+    pil = _to_pil(img if img.dtype != np.int32 else img.astype(np.int32))
+    if nearest and img.dtype not in (np.uint8,):
+        # PIL handles int32 via mode "I"
+        pil = Image.fromarray(img.astype(np.int32), mode="I")
+    out = pil.resize((size_hw[1], size_hw[0]), mode)
+    return np.asarray(out)
+
+
+def normalize(img_u8: np.ndarray) -> np.ndarray:
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class PairedTransform:
+    """transform(image_u8 HxWx3, labels: list of HxW int arrays) ->
+    (float32 HxWx3, [int32 HxW, ...])."""
+
+    def __init__(self, *, scale_range: Optional[Tuple[float, float]] = None,
+                 crop_size: Optional[Tuple[int, int]] = None,
+                 pad_values: Sequence[int] = (),
+                 img_pad: Tuple[int, int, int] = (124, 116, 104),
+                 hflip: bool = False,
+                 resize_to: Optional[Tuple[int, int]] = None,
+                 seed: int = 0):
+        self.scale_range = scale_range
+        self.crop_size = crop_size
+        self.pad_values = list(pad_values)
+        self.img_pad = img_pad
+        self.hflip = hflip
+        self.resize_to = resize_to
+        self.rng = np.random.RandomState(seed)
+
+    def __call__(self, image: np.ndarray, labels: List[np.ndarray]):
+        image = np.asarray(image)
+        labels = [np.asarray(l) for l in labels]
+
+        if self.resize_to is not None:
+            image = resize_image(image, self.resize_to)
+            labels = [resize_image(l, self.resize_to, nearest=True)
+                      for l in labels]
+
+        if self.scale_range is not None:
+            s = self.rng.uniform(*self.scale_range)
+            h, w = image.shape[:2]
+            nh, nw = int(round(h * s)), int(round(w * s))
+            image = resize_image(image, (nh, nw))
+            labels = [resize_image(l, (nh, nw), nearest=True) for l in labels]
+
+        if self.crop_size is not None:
+            ch, cw = self.crop_size
+            h, w = image.shape[:2]
+            if h < ch or w < cw:  # pad_if_needed with per-label values
+                ph, pw = max(ch - h, 0), max(cw - w, 0)
+                image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
+                               constant_values=0)
+                for c in range(3):
+                    image[h:, :, c] = self.img_pad[c]
+                    image[:, w:, c] = self.img_pad[c]
+                labels = [np.pad(l, ((0, ph), (0, pw)),
+                                 constant_values=self.pad_values[i]
+                                 if i < len(self.pad_values) else 255)
+                          for i, l in enumerate(labels)]
+                h, w = image.shape[:2]
+            y0 = self.rng.randint(0, h - ch + 1)
+            x0 = self.rng.randint(0, w - cw + 1)
+            image = image[y0:y0 + ch, x0:x0 + cw]
+            labels = [l[y0:y0 + ch, x0:x0 + cw] for l in labels]
+
+        if self.hflip and self.rng.rand() < 0.5:
+            image = image[:, ::-1]
+            labels = [l[:, ::-1] for l in labels]
+
+        image = normalize(np.ascontiguousarray(image))
+        labels = [np.ascontiguousarray(l).astype(np.int32) for l in labels]
+        return image, labels
+
+
+def get_train_transform(name: str, cfg, seed: int = 0) -> PairedTransform:
+    """Named registry (dataloader/transform.py:5-171)."""
+    crop = tuple(cfg.crop_size)
+    if name in ("rescale_769_multi_notrg", "rescale_513_multi_notrg"):
+        # train: image + [spx]; pad spx with nseg
+        return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
+                               pad_values=[cfg.nseg], hflip=True, seed=seed)
+    if name in ("rescale_769_nospx", "rescale_513_notrg"):
+        # stage-2: image + [plbl GT]; pad with ignore
+        return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
+                               pad_values=[cfg.ignore_idx], hflip=True,
+                               seed=seed)
+    if name == "eval_spx" or name == "eval_spx_identity":
+        return PairedTransform(seed=seed)  # identity + normalize
+    raise KeyError(f"unknown transform {name!r}")
+
+
+def get_val_transform(cfg, seed: int = 0) -> PairedTransform:
+    """Cityscapes val: resize 1024x2048; VOC val handled by its dataset
+    (dataloader/__init__.py:38-55)."""
+    if cfg.dataset == "cityscapes":
+        return PairedTransform(resize_to=(1024, 2048), seed=seed)
+    return PairedTransform(seed=seed)

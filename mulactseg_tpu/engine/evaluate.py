@@ -1,0 +1,52 @@
+"""Evaluation loops with on-device streaming mIoU.
+
+Covers the reference's inference paths: plain argmax eval
+(trainer/base.py:138-175), predignore eval reporting mIoU over the C real
+classes plus a separate undefined-class IoU
+(trainer/active_joint_multi_predignore.py:175-216 / eval_naive.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mulactseg_tpu.engine.train import make_eval_step
+from mulactseg_tpu.utils.metrics import IoUIgnore, MeanIoU
+
+
+class Evaluator:
+    def __init__(self, model, cfg):
+        self.model = model
+        self.cfg = cfg
+        self.step = make_eval_step(model)
+
+    def run(self, params, batch_stats, loader: Iterable, *,
+            predignore: Optional[bool] = None):
+        """loader yields dicts with 'images' (B,H,W,3 normalized float) and
+        'labels' (B,H,W int). Returns (miou, iou_table_str) like
+        trainer/base.py:161-175."""
+        cfg = self.cfg
+        if predignore is None:
+            predignore = "predignore" in cfg.method
+        iou = MeanIoU(cfg.num_classes, cfg.ignore_idx)
+        ign = IoUIgnore(cfg.num_classes, cfg.ignore_idx) if predignore else None
+        for batch in loader:
+            logits = self.step(params, batch_stats, jnp.asarray(batch["images"]))
+            labels = jnp.asarray(batch["labels"])
+            if predignore:
+                preds_real = jnp.argmax(logits[..., :-1], axis=-1)
+                preds_full = jnp.argmax(logits, axis=-1)
+                iou._after_step({"outputs": preds_real, "targets": labels})
+                ign._after_step({"outputs": preds_full, "targets": labels})
+            else:
+                preds = jnp.argmax(logits, axis=-1)
+                iou._after_step({"outputs": preds, "targets": labels})
+        ious = iou._after_epoch()
+        miou = float(np.mean(ious))
+        table = [f"{miou:.2f}"] + [f"{v:.2f}" for v in ious]
+        if ign is not None:
+            table.append(f"{ign._after_epoch():.2f}")
+        return miou, ",".join(table)

@@ -1,0 +1,174 @@
+"""Active-learning trainer shell and round orchestration.
+
+The functional core (jitted steps) lives in engine/train.py; this module
+is the thin stateful shell: fresh model per round (train_AL.py:44-46),
+resume scenarios, train loop with periodic validation + best-checkpoint
+policy (trainer/base.py:222-244), selection, eval — the call stack of
+SURVEY.md section 3.1.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulactseg_tpu.acquisition import get_selector
+from mulactseg_tpu.data.loader import DataProvider
+from mulactseg_tpu.engine.checkpoint import (
+    load_checkpoint,
+    merge_pretrained,
+    save_checkpoint,
+)
+from mulactseg_tpu.engine.evaluate import Evaluator
+from mulactseg_tpu.engine.state import create_train_state
+from mulactseg_tpu.engine.train import make_eval_step, make_train_step
+from mulactseg_tpu.models import get_model
+from mulactseg_tpu.parallel import make_mesh, shard_batch
+
+log = logging.getLogger("mulactseg_tpu")
+
+
+class ALTrainer:
+    """ActiveTrainer equivalent (trainer/active.py:10-104): holds the
+    model + state for one AL round."""
+
+    def __init__(self, cfg, selection_iter: int, val_dataset=None,
+                 eval_dataset=None, rng: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.selection_iter = selection_iter
+        self.best_iou = 0.0
+        self.model = get_model(cfg.model, num_classes=cfg.num_model_classes,
+                               output_stride=cfg.output_stride,
+                               separable_conv=cfg.separable_conv)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        h, w = cfg.crop_size
+        self.state = create_train_state(
+            self.model, cfg, init_rng,
+            (cfg.train_batch_size, h, w, 3), total_itrs=cfg.finetune_itrs)
+        self.train_step = make_train_step(self.model, cfg)
+        self.eval_step = make_eval_step(self.model)
+        self.evaluator = Evaluator(self.model, cfg)
+        self.val_dataset = val_dataset
+        self.eval_dataset = eval_dataset
+        self.mesh = make_mesh(cfg.n_devices)
+        self.checkpoint_file = os.path.join(
+            cfg.model_save_dir, f"checkpoint{selection_iter:02d}")
+
+    # -- inference helpers ------------------------------------------------------
+    def predict_logits(self, images) -> jax.Array:
+        return self.eval_step(self.state.params, self.state.batch_stats,
+                              jnp.asarray(images))
+
+    # -- checkpointing ------------------------------------------------------------
+    def save(self, path: Optional[str] = None):
+        save_checkpoint(path or self.checkpoint_file, self.state)
+
+    def load(self, path: str, strip_classifier: Optional[bool] = None):
+        """4 resume scenarios of train_AL.py:47-57 funnel here. For
+        'imagenet_pretrained' style inits the classifier final weights are
+        stripped (trainer/active_joint_multi_predignore.py:146-168)."""
+        if strip_classifier is None:
+            strip_classifier = "imagenet_pretrained" in path
+        if strip_classifier:
+            payload = load_checkpoint(path)
+            merged = merge_pretrained(jax.device_get(self.state.params),
+                                      payload["params"])
+            self.state = self.state.replace(params=merged)
+            if "batch_stats" in payload:
+                bs = merge_pretrained(jax.device_get(self.state.batch_stats),
+                                      payload["batch_stats"],
+                                      strip_classifier_final=False)
+                self.state = self.state.replace(batch_stats=bs)
+        else:
+            self.state = load_checkpoint(path, self.state)
+
+    # -- training -----------------------------------------------------------------
+    def train(self, active_set, total_itrs: Optional[int] = None,
+              val_period: Optional[int] = None,
+              log_every: int = 100,
+              metrics_cb: Optional[Callable[[int, Dict], None]] = None):
+        cfg = self.cfg
+        total_itrs = total_itrs or cfg.finetune_itrs
+        val_period = val_period or cfg.val_period
+        trainset = active_set.get_trainset()
+        loader = DataProvider(trainset, cfg.train_batch_size, shuffle=True,
+                              drop_last=True, infinite=True,
+                              num_workers=cfg.num_workers, seed=cfg.seed)
+        t0 = time.time()
+        n_img = 0
+        for it in range(total_itrs):
+            batch = next(loader)
+            device_batch = {
+                "images": jnp.asarray(batch["images"]),
+                "target": jnp.asarray(batch["target"]),
+                "spx": jnp.asarray(batch["spx"]),
+                "spmask": jnp.asarray(batch["spmask"]),
+            }
+            if "labels" in batch and cfg.method in ("active_predignore", "active"):
+                device_batch["labels"] = jnp.asarray(batch["labels"])
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, aux = self.train_step(self.state, device_batch, step_rng)
+            n_img += cfg.train_batch_size
+            if metrics_cb is not None and (it + 1) % log_every == 0:
+                aux_host = {k: float(v) for k, v in aux.items()}
+                aux_host["images_per_sec"] = n_img / (time.time() - t0)
+                metrics_cb(it, aux_host)
+            if self.val_dataset is not None and (it + 1) % val_period == 0:
+                self.validate(it)
+        jax.block_until_ready(self.state.params)
+        return n_img / (time.time() - t0)
+
+    def validate(self, trainiter: int):
+        loader = DataProvider(self.val_dataset, self.cfg.val_batch_size,
+                              shuffle=False, drop_last=False, infinite=False,
+                              num_workers=self.cfg.val_num_workers)
+        miou, table = self.evaluator.run(self.state.params,
+                                         self.state.batch_stats, loader)
+        log.info("[val @%d] %s", trainiter, table)
+        if miou > self.best_iou:  # best-val overwrite (trainer/base.py:229-233)
+            self.best_iou = miou
+            self.save()
+        return miou
+
+    def eval(self):
+        loader = DataProvider(self.eval_dataset, self.cfg.val_batch_size,
+                              shuffle=False, drop_last=False, infinite=False,
+                              num_workers=self.cfg.val_num_workers)
+        miou, table = self.evaluator.run(self.state.params,
+                                         self.state.batch_stats, loader)
+        log.info("[AL %d-round eval] %s", self.selection_iter, table)
+        return miou, table
+
+
+def run_al_rounds(cfg, active_set, *, val_dataset=None, eval_dataset=None,
+                  init_checkpoint: Optional[str] = None,
+                  metrics_cb=None) -> Dict[int, float]:
+    """The stage-1 AL loop (train_AL.py:18-100): for each round select ->
+    train -> eval; fresh model every round when start_over."""
+    results = {}
+    for selection_iter in range(cfg.init_iteration, cfg.max_iterations + 1):
+        active_set.selection_iter = selection_iter
+        trainer = ALTrainer(cfg, selection_iter, val_dataset=val_dataset,
+                            eval_dataset=eval_dataset)
+        if init_checkpoint:
+            trainer.load(init_checkpoint)
+        sel_name = (cfg.init_active_method if selection_iter == 1
+                    else cfg.active_method)
+        selector = get_selector(sel_name, cfg)
+        selector.select_next_batch(trainer, active_set,
+                                   cfg.active_selection_size)
+        active_set.dump_datalist()
+        trainer.train(active_set, metrics_cb=metrics_cb)
+        if trainer.val_dataset is None or trainer.best_iou == 0.0:
+            trainer.save()
+        if eval_dataset is not None:
+            miou, _ = trainer.eval()
+            results[selection_iter] = miou
+    return results

@@ -1,0 +1,177 @@
+"""Partial-label losses over superpixel regions, vectorized for TPU.
+
+Re-derivations of the reference losses (/root/reference/utils/loss.py and
+trainer/active_joint_multi_predignore*.py) with identical mathematical
+semantics but no per-image Python loops: every loss is one jitted dense
+program over the whole batch. Normalizers match the reference exactly —
+`num_valid` starts at 1 and accumulates globally across the batch
+(/root/reference/utils/loss.py:106-107).
+
+Conventions (differ deliberately from the torch reference):
+  - logits are NHWC (B, H, W, C) — TPU-native layout;
+  - `targets` are the per-superpixel multi-hot annotations (B, S, C_t)
+    where C_t = num_classes + 1 (last channel = "undefined");
+  - `slice_last=True` drops that channel (the non-predignore losses,
+    utils/loss.py:124); `slice_last=False` keeps all channels (the
+    predignore losses where the model itself predicts the undefined
+    class, trainer/active_joint_multi_predignore.py:51);
+  - invalid pixels are masked, never gathered — identical results.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mulactseg_tpu.ops.segment import seg_context, seg_max, seg_valid
+
+EPS = 1e-8
+
+
+def _flatten(logits, targets, spx, spmask, temp, slice_last):
+    B, H, W, C = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+    probs = probs.reshape(B, H * W, C)
+    spx = spx.reshape(B, H * W).astype(jnp.int32)
+    mask = spmask.reshape(B, H * W).astype(bool)
+    trg = targets[..., :-1] if slice_last else targets
+    trg = trg.astype(jnp.float32)
+    if trg.shape[-1] != C:
+        raise ValueError(
+            f"target channels {trg.shape[-1]} != logit channels {C} "
+            f"(slice_last={slice_last})")
+    return probs, trg, spx, mask
+
+
+def _pixel_targets(trg, spx):
+    """Gather each pixel's superpixel multi-hot: (B,S,C),(B,P) -> (B,P,C)."""
+    return jnp.take_along_axis(trg, spx[:, :, None], axis=1)
+
+
+def multi_choice_ce(logits, targets, spx, spmask, *, temp=1.0, slice_last=True):
+    """Merged-positive CE (L_mp): -log sum_{c in candidates} p_c per pixel.
+
+    slice_last=True  -> MultiChoiceCE   (utils/loss.py:535-588)
+    slice_last=False -> MultiChoiceCE_  (trainer/active_joint_multi_predignore.py:17-73)
+    """
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp, slice_last)
+    trg_pixel = _pixel_targets(trg, spx)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    pos = jnp.sum(probs * trg_pixel, axis=-1)
+    nll = -jnp.log(pos + EPS)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0))
+    num_valid = 1.0 + jnp.sum(valid)
+    return loss / num_valid
+
+
+def group_multi_label_ce(logits, targets, spx, spmask, *, nseg, temp=1.0,
+                         slice_last=True, only_multi=False):
+    """MIL group loss (L_gm): per present (superpixel, candidate-class)
+    pair, -log of the max predicted prob inside the superpixel.
+
+    slice_last=True               -> GroupMultiLabelCE (utils/loss.py:81-141)
+    slice_last=False              -> GroupMultiLabelCE_ (active_joint_multi_predignore.py:74-128)
+    only_multi=True               -> GroupMultiLabelCE_onlymulti
+                                     (active_joint_multi_predignore_mclossablation2.py:17-79):
+                                     only pixels of multi-hot superpixels feed the max.
+
+    An entry contributes iff its class is annotated AND the superpixel has
+    at least one valid pixel (softmax>0 means present segments always have
+    positive max — the reference's `nonzero()` filter reduces to this).
+    """
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp, slice_last)
+    if only_multi:
+        is_multi = jnp.sum(trg, axis=-1) > 1  # (B, S)
+        pix_multi = jnp.take_along_axis(is_multi, spx, axis=1)
+        mask = mask & pix_multi
+    sid = jnp.where(mask, spx, nseg)
+
+    def one(s, v):
+        ctx = seg_context(s, nseg)
+        return seg_max(ctx, v), seg_valid(ctx)
+
+    mx, present = jax.vmap(one)(sid, probs)  # (B,S,C), (B,S)
+    entry = (trg > 0.5) & present[:, :, None]
+    nll = -jnp.log(mx + EPS)
+    loss = jnp.sum(jnp.where(entry, nll, 0.0))
+    num_valid = 1.0 + jnp.sum(entry)
+    return loss / num_valid
+
+
+def onehot_ce_multihot_choice(logits, targets, spx, spmask, *, temp=1.0):
+    """Loss decomposition of the merged-positive CE
+    (trainer/active_joint_multi_predignore_lossdecomp.py:16-72): pixels in
+    one-hot superpixels give a plain CE term, pixels in multi-hot
+    superpixels give the merged-positive term; separate normalizers.
+    Targets are used with all C+1 channels (predignore).
+
+    Returns (oh_loss, mh_loss).
+    """
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    trg_pixel = _pixel_targets(trg, spx)
+    n_cand = jnp.sum(trg_pixel, axis=-1)
+    pos = jnp.sum(probs * trg_pixel, axis=-1)
+    nll = -jnp.log(pos + EPS)
+    oh = mask & (n_cand == 1)
+    mh = mask & (n_cand > 1)  # the reference asserts not-onehot == (>1)
+    oh_loss = jnp.sum(jnp.where(oh, nll, 0.0)) / (1.0 + jnp.sum(oh))
+    mh_loss = jnp.sum(jnp.where(mh, nll, 0.0)) / (1.0 + jnp.sum(mh))
+    return oh_loss, mh_loss
+
+
+def lossdecomp(logits, targets, spx, spmask, *, nseg, coeff=16.0, coeff_mc=8.0,
+               coeff_gm=1.0, ce_temp=0.1, multi_ce_temp=0.1, group_ce_temp=0.1):
+    """The shipped stage-1 training loss (Cityscapes):
+    coeff*CE(one-hot spx) + coeff_mc*MC(multi-hot spx) + coeff_gm*Group(multi-hot spx)
+    (trainer/active_joint_multi_predignore_lossdecomp.py:102-104; coeffs/temps
+    from script/open_source/train_city_mul_res50.sh).
+
+    NOTE: ce_temp is accepted for config parity; the decomposed CE term uses
+    multi_ce_temp, exactly as the reference's OnehotCEMultihotChoice does.
+
+    Returns (total, aux dict).
+    """
+    del ce_temp  # parity: reference passes multi_ce_temp to both CE and MC terms
+    group = group_multi_label_ce(logits, targets, spx, spmask, nseg=nseg,
+                                 temp=group_ce_temp, slice_last=False,
+                                 only_multi=True)
+    ce, mc = onehot_ce_multihot_choice(logits, targets, spx, spmask,
+                                       temp=multi_ce_temp)
+    total = coeff * ce + coeff_mc * mc + coeff_gm * group
+    return total, {"ce_loss": ce, "mc_loss": mc, "group_loss": group,
+                   "train_loss": total}
+
+
+def rc_multi_choice_ce(logits, targets, spx, spmask, *, temp=1.0,
+                       slice_last=True):
+    """Risk-consistent weighted candidate CE (utils/loss.py:653-707):
+    self-normalized detached weights over candidate predictions."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp, slice_last)
+    trg_pixel = _pixel_targets(trg, spx)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    pos = probs * trg_pixel  # (B,P,C)
+    w = jax.lax.stop_gradient(pos)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), EPS)
+    perpix = jnp.sum(w * -jnp.log(pos + EPS), axis=-1)
+    loss = jnp.sum(jnp.where(valid, perpix, 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def multi_choice_ent(logits, targets, spx, spmask, *, temp=1.0, slice_last=True):
+    """Entropy within the candidate set for multi-hot pixels
+    (utils/loss.py:590-651, implementing its intended semantics — the
+    reference file has a dead-name bug on its valid_input path)."""
+    B, H, W, C = logits.shape
+    lg = logits.astype(jnp.float32).reshape(B, H * W, C)
+    spx = spx.reshape(B, H * W).astype(jnp.int32)
+    mask = spmask.reshape(B, H * W).astype(bool)
+    trg = targets[..., :-1] if slice_last else targets
+    trg_pixel = _pixel_targets(trg.astype(jnp.float32), spx)
+    valid = mask & (jnp.sum(trg_pixel, axis=-1) > 1)
+    masked_logits = jnp.where(trg_pixel > 0, lg, -jnp.inf)
+    p = jax.nn.softmax(masked_logits / temp, axis=-1)
+    p = jnp.where(trg_pixel > 0, p, 0.0)
+    ent = -jnp.sum(p * jnp.log(p + EPS), axis=-1)
+    loss = jnp.sum(jnp.where(valid, ent, 0.0))
+    return loss / (1.0 + jnp.sum(valid))

@@ -1,0 +1,156 @@
+"""DeepLabV3 / V3+ heads and full models in Flax (NHWC).
+
+Re-design of /root/reference/models/segmentation/deeplabv3.py and
+utils.py: ASPP (5 branches + projection + dropout 0.1, deeplabv3.py:216-245),
+the V3+ head (48-ch low-level projection, 304-ch concat,
+deeplabv3.py:35-64), the C1 variant (two 3x3 blocks, :73-83), and the
+weight-normalized cosine head — bias-free final 1x1 on L2-normalized
+features against L2-normalized class proxies (:85-129).
+
+`__call__(x, train, return_feat)` subsumes forward/feat_forward
+(models/segmentation/utils.py:20-34): logits (and, when requested, the
+256-d point features) are bilinearly upsampled to the input size.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mulactseg_tpu.models.layers import (
+    ConvBNReLU,
+    batch_norm,
+    conv,
+    kaiming_in,
+    resize_bilinear,
+)
+
+
+class ASPP(nn.Module):
+    atrous_rates: Sequence[int]
+    out_channels: int = 256
+    separable: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        size = x.shape[1:3]
+        res = [ConvBNReLU(self.out_channels, 1, init=kaiming_in,
+                          name="b0")(x, train)]
+        for i, rate in enumerate(self.atrous_rates):
+            res.append(ConvBNReLU(self.out_channels, 3, dilation=rate,
+                                  separable=self.separable, init=kaiming_in,
+                                  name=f"b{i + 1}")(x, train))
+        # image pooling branch
+        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = conv(self.out_channels, 1, init=kaiming_in, name="pool_conv")(pooled)
+        pooled = batch_norm(train, name="pool_bn")(pooled)
+        pooled = nn.relu(pooled)
+        pooled = jnp.broadcast_to(
+            pooled, (x.shape[0], size[0], size[1], self.out_channels))
+        res.append(pooled)
+        y = jnp.concatenate(res, axis=-1)
+        y = ConvBNReLU(self.out_channels, 1, init=kaiming_in,
+                       name="project")(y, train)
+        y = nn.Dropout(0.1, deterministic=not train)(y)
+        return y
+
+
+class DeepLabHeadV3Plus(nn.Module):
+    """variant: 'plain' (one 3x3 block + biased final), 'c1' (two blocks),
+    'wn' (two blocks + cosine final)."""
+
+    num_classes: int
+    aspp_dilate: Sequence[int] = (6, 12, 18)
+    variant: str = "plain"
+    separable: bool = False
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, return_feat: bool = False):
+        low = ConvBNReLU(48, 1, init=kaiming_in, name="project")(
+            feats["low_level"], train)
+        y = ASPP(self.aspp_dilate, separable=self.separable,
+                 name="aspp")(feats["out"], train)
+        y = resize_bilinear(y, low.shape[1:3])
+        y = jnp.concatenate([low, y], axis=-1)
+        y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
+                       name="cls0")(y, train)
+        if self.variant in ("c1", "wn"):
+            y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
+                           name="cls1")(y, train)
+        if self.variant == "wn":
+            # cosine-similarity logits (deeplabv3.py:97-100)
+            feat = y / jnp.sqrt(
+                jnp.sum(jnp.square(y), axis=-1, keepdims=True) + 1e-12)
+            proxy = self.param(
+                "proxy", kaiming_in, (1, 1, y.shape[-1], self.num_classes))
+            proxy_n = proxy / jnp.sqrt(
+                jnp.sum(jnp.square(proxy), axis=2, keepdims=True) + 1e-12)
+            logits = jnp.einsum("bhwc,ijcn->bhwn", feat, proxy_n)
+            point_feature = feat
+        else:
+            logits = conv(self.num_classes, 1, use_bias=True, init=kaiming_in,
+                          name="final")(y)
+            point_feature = y
+        if return_feat:
+            return point_feature, logits
+        return logits
+
+
+class DeepLabHeadV3(nn.Module):
+    num_classes: int
+    aspp_dilate: Sequence[int] = (6, 12, 18)
+    separable: bool = False
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, return_feat: bool = False):
+        y = ASPP(self.aspp_dilate, separable=self.separable,
+                 name="aspp")(feats["out"], train)
+        y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
+                       name="cls0")(y, train)
+        logits = conv(self.num_classes, 1, use_bias=True, init=kaiming_in,
+                      name="final")(y)
+        if return_feat:
+            return y, logits
+        return logits
+
+
+class DeepLabHeadV2(nn.Module):
+    """Legacy DeepLabV2 head: sum of 4 dilated 3x3 classifiers, no BN
+    (models/segmentation/deeplabv2.py)."""
+
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False, return_feat: bool = False):
+        x = feats["out"]
+        logits = None
+        for i, d in enumerate(self.dilations):
+            out = conv(self.num_classes, 3, dilation=d, use_bias=True,
+                       init=kaiming_in, name=f"branch{i}")(x)
+            logits = out if logits is None else logits + out
+        if return_feat:
+            return x, logits
+        return logits
+
+
+class DeepLabV3(nn.Module):
+    """Backbone + head + bilinear upsample to the input size
+    (models/segmentation/utils.py:20-34)."""
+
+    backbone: nn.Module
+    classifier: nn.Module
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, return_feat: bool = False):
+        input_size = x.shape[1:3]
+        feats = self.backbone(x, train)
+        if return_feat:
+            feat, logits = self.classifier(feats, train, return_feat=True)
+            feat = resize_bilinear(feat, input_size)
+            logits = resize_bilinear(logits, input_size)
+            return feat, logits
+        logits = self.classifier(feats, train)
+        return resize_bilinear(logits, input_size)

@@ -1,0 +1,84 @@
+"""Shared Flax building blocks (NHWC, torch-compatible geometry).
+
+Padding is explicit and symmetric to match torch's Conv2d(padding=p)
+exactly — SAME padding differs in pixel alignment for stride-2 convs,
+which would break torch-weight import parity.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch kaiming_normal_: backbone uses mode='fan_out'
+# (models/segmentation/backbone/resnet.py:178), heads use the default
+# fan_in (models/segmentation/deeplabv3.py:69).
+kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+kaiming_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
+         use_bias: bool = False, groups: int = 1, name: Optional[str] = None,
+         init=kaiming_out) -> nn.Conv:
+    pad = dilation * (kernel - 1) // 2
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        kernel_dilation=(dilation, dilation),
+        padding=((pad, pad), (pad, pad)),
+        feature_group_count=groups,
+        use_bias=use_bias,
+        kernel_init=init,
+        name=name,
+    )
+
+
+def batch_norm(train: bool, name: Optional[str] = None,
+               momentum: float = 0.9) -> nn.BatchNorm:
+    """torch BatchNorm2d(momentum=0.1) == flax momentum 0.9
+    (running = 0.9*running + 0.1*batch; models/__init__.py:7 sets 0.1)."""
+    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
+                        epsilon=1e-5, name=name)
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+    relu: bool = True
+    separable: bool = False
+    init: Callable = kaiming_out
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.separable and self.kernel > 1:
+            # AtrousSeparableConvolution (deeplabv3.py:168-192)
+            x = conv(x.shape[-1], self.kernel, self.stride, self.dilation,
+                     groups=x.shape[-1], name="depthwise", init=self.init)(x)
+            x = conv(self.features, 1, 1, 1, name="pointwise", init=self.init)(x)
+        else:
+            x = conv(self.features, self.kernel, self.stride, self.dilation,
+                     name="conv", init=self.init)(x)
+        x = batch_norm(train, name="bn")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_3x3_s2(x):
+    """torch MaxPool2d(kernel_size=3, stride=2, padding=1)."""
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+
+def resize_bilinear(x, size: Tuple[int, int]):
+    """F.interpolate(mode='bilinear', align_corners=False) equivalent
+    (half-pixel centers)."""
+    import jax
+    B, H, W, C = x.shape
+    if (H, W) == tuple(size):
+        return x
+    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")

@@ -1,0 +1,264 @@
+"""TPU-native segment (superpixel) reductions.
+
+Replaces the reference's torch_scatter dependency (used throughout
+/root/reference/utils/loss.py, active_selection/my_bvsb.py:73,
+trainer/eval_save_cosplbl_prop.py:178) with a design built for XLA's
+static-shape, dense-compute model:
+
+  1. one `argsort` of the segment-id map per image (stable, O(P log^2 P)
+     on the TPU sort unit),
+  2. per-segment ranges recovered with `searchsorted` (binary search,
+     O(S log P)),
+  3. reductions as *segmented associative scans* (max/min/argmax) or
+     cumulative-sum differences (sum/count/mean) over the sorted order,
+  4. per-segment results gathered at run ends — never a scatter.
+
+This turns every "scatter(reduce=...)" in the reference into sort + scan
++ gather — all ops XLA tiles well on TPU — and lets one sort be reused by
+every reduction over the same segment map (losses need max, count; the
+scorers need mean and one-hot sums; plbl needs argmax).
+
+Masking convention: callers encode invalid pixels by setting their
+segment id to `num_segments` (an overflow bucket); reductions are
+reported only for buckets [0, num_segments). Absent segments report
+count 0, sum 0, max `fill`, argmax `P` (the out-of-range index the
+reference uses to detect empty segments,
+/root/reference/utils/loss.py:202-204).
+
+All functions are jit-, vmap-, and grad-compatible (gradients flow
+through values, not through ids).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class SegContext(NamedTuple):
+    """Sorted view over one flat segment-id map.
+
+    order:      (P,)  permutation that sorts `sid` ascending (stable).
+    sorted_sid: (P,)  sid[order].
+    starts:     (S,)  first position of each segment in sorted order.
+    ends:       (S,)  one-past-last position of each segment.
+    num_segments: () int32 scalar kept only for shape checking; S is the
+                  static leading dim of starts/ends.
+    """
+
+    order: jax.Array
+    sorted_sid: jax.Array
+    starts: jax.Array
+    ends: jax.Array
+
+
+def seg_context(sid: jax.Array, num_segments: int) -> SegContext:
+    """Build the reduction context. `sid` is a flat (P,) int array whose
+    entries lie in [0, num_segments]; the value `num_segments` marks
+    invalid pixels."""
+    sid = sid.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(sid, stable=True)
+    sorted_sid = sid[order]
+    seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_sid, seg_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_sid, seg_ids, side="right").astype(jnp.int32)
+    return SegContext(order=order, sorted_sid=sorted_sid, starts=starts, ends=ends)
+
+
+def seg_valid(ctx: SegContext) -> jax.Array:
+    """(S,) bool — segment has at least one (valid) member pixel."""
+    return ctx.ends > ctx.starts
+
+
+def seg_count(ctx: SegContext) -> jax.Array:
+    """(S,) int32 — member-pixel count per segment."""
+    return ctx.ends - ctx.starts
+
+
+def _as_2d(values: jax.Array):
+    """(P,) -> (P, 1) plus a squeeze flag."""
+    if values.ndim == 1:
+        return values[:, None], True
+    if values.ndim == 2:
+        return values, False
+    raise ValueError(f"values must be (P,) or (P, C), got {values.shape}")
+
+
+def seg_sum(ctx: SegContext, values: jax.Array) -> jax.Array:
+    """Per-segment sum. values (P,) or (P, C) -> (S,) or (S, C).
+
+    Integer inputs use an exact int32 cumulative sum; floats use an f32
+    cumsum (difference-of-prefix-sums; relative error ~1e-6 * P which is
+    well inside training noise).
+    """
+    v, squeeze = _as_2d(values)
+    g = jnp.take(v, ctx.order, axis=0)
+    if jnp.issubdtype(g.dtype, jnp.integer) or g.dtype == jnp.bool_:
+        g = g.astype(jnp.int32)
+    else:
+        g = g.astype(jnp.float32)
+    c = jnp.cumsum(g, axis=0)
+    # prefix[i] = sum of first i sorted elements; pad a zero row in front.
+    zero = jnp.zeros((1, g.shape[1]), dtype=c.dtype)
+    prefix = jnp.concatenate([zero, c], axis=0)
+    out = prefix[ctx.ends] - prefix[ctx.starts]
+    return out[:, 0] if squeeze else out
+
+
+def seg_mean(ctx: SegContext, values: jax.Array, fill: float = 0.0) -> jax.Array:
+    """Per-segment mean; absent segments -> `fill` (torch_scatter
+    scatter(reduce='mean') reports 0 for absent ids,
+    /root/reference/active_selection/my_bvsb.py:73)."""
+    s = seg_sum(ctx, values)
+    n = seg_count(ctx)
+    n_b = n[:, None] if s.ndim == 2 else n
+    mean = s / jnp.maximum(n_b, 1).astype(s.dtype)
+    valid = (n_b > 0)
+    return jnp.where(valid, mean, jnp.asarray(fill, dtype=s.dtype))
+
+
+def _segmented_scan(vals: jax.Array, flags: jax.Array, reverse_max: bool):
+    """Inclusive segmented max-scan over sorted values.
+
+    vals  (P, C) float; flags (P, 1) bool marking run starts.
+    Monoid: (v_a, f_a) * (v_b, f_b) = (f_b ? v_b : op(v_a, v_b), f_a|f_b).
+    """
+    op = jnp.minimum if reverse_max else jnp.maximum
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        v = jnp.where(fb, vb, op(va, vb))
+        f = jnp.logical_or(fa, fb)
+        return v, f
+
+    v, _ = lax.associative_scan(comb, (vals, flags), axis=0)
+    return v
+
+
+def _run_start_flags(ctx: SegContext) -> jax.Array:
+    s = ctx.sorted_sid
+    first = jnp.ones((1,), dtype=bool)
+    rest = s[1:] != s[:-1]
+    return jnp.concatenate([first, rest])[:, None]
+
+
+def _seg_extreme(ctx, values, fill, reverse):
+    v, squeeze = _as_2d(values)
+    g = jnp.take(v, ctx.order, axis=0).astype(jnp.float32)
+    flags = _run_start_flags(ctx)
+    scanned = _segmented_scan(g, flags, reverse_max=reverse)
+    # run end of segment s sits at ends[s]-1 (valid only when count>0)
+    idx = jnp.maximum(ctx.ends - 1, 0)
+    out = scanned[idx]
+    valid = seg_valid(ctx)
+    out = jnp.where(valid[:, None], out, jnp.asarray(fill, dtype=out.dtype))
+    return out[:, 0] if squeeze else out
+
+
+def seg_max(ctx: SegContext, values: jax.Array, fill: float = 0.0) -> jax.Array:
+    """Per-segment max; absent segments -> `fill` (torch_scatter
+    scatter(reduce='max') leaves absent rows at 0,
+    /root/reference/utils/loss.py:122-123)."""
+    return _seg_extreme(ctx, values, fill, reverse=False)
+
+
+def seg_min(ctx: SegContext, values: jax.Array, fill: float = 0.0) -> jax.Array:
+    return _seg_extreme(ctx, values, fill, reverse=True)
+
+
+def seg_max_argmax(ctx: SegContext, values: jax.Array, fill: float = 0.0):
+    """Per-segment (max, argmax-into-original-P).
+
+    Matches torch_scatter.scatter_max semantics the reference relies on:
+    absent segments get value `fill` and index == P (out of range), used
+    as the validity test at /root/reference/utils/loss.py:204.
+    Ties resolve to the earliest pixel in sorted order.
+    """
+    v, squeeze = _as_2d(values)
+    P = v.shape[0]
+    g = jnp.take(v, ctx.order, axis=0).astype(jnp.float32)
+    flags = _run_start_flags(ctx)
+    # original pixel index of each sorted row, broadcast across C
+    pix = ctx.order.astype(jnp.int32)[:, None] * jnp.ones((1, g.shape[1]), jnp.int32)
+
+    def comb(a, b):
+        va, ia, fa = a
+        vb, ib, fb = b
+        take_b = jnp.logical_or(fb, vb > va)
+        v_ = jnp.where(fb, vb, jnp.maximum(va, vb))
+        i_ = jnp.where(take_b, ib, ia)
+        f_ = jnp.logical_or(fa, fb)
+        return v_, i_, f_
+
+    sv, si, _ = lax.associative_scan(comb, (g, pix, flags), axis=0)
+    idx = jnp.maximum(ctx.ends - 1, 0)
+    out_v = sv[idx]
+    out_i = si[idx]
+    valid = seg_valid(ctx)[:, None]
+    out_v = jnp.where(valid, out_v, jnp.asarray(fill, dtype=out_v.dtype))
+    out_i = jnp.where(valid, out_i, jnp.asarray(P, dtype=jnp.int32))
+    if squeeze:
+        return out_v[:, 0], out_i[:, 0]
+    return out_v, out_i
+
+
+# ---------------------------------------------------------------------------
+# One-shot wrappers with torch_scatter-style signatures (build the context
+# internally). Prefer building one SegContext and reusing it when several
+# reductions share a segment map.
+# ---------------------------------------------------------------------------
+
+def _masked_sid(sid, mask, num_segments):
+    sid = sid.reshape(-1).astype(jnp.int32)
+    if mask is not None:
+        sid = jnp.where(mask.reshape(-1), sid, num_segments)
+    return sid
+
+
+def scatter_sum(values, sid, num_segments, mask=None):
+    ctx = seg_context(_masked_sid(sid, mask, num_segments), num_segments)
+    return seg_sum(ctx, values)
+
+
+def scatter_mean(values, sid, num_segments, mask=None, fill=0.0):
+    ctx = seg_context(_masked_sid(sid, mask, num_segments), num_segments)
+    return seg_mean(ctx, values, fill=fill)
+
+
+def scatter_max(values, sid, num_segments, mask=None, fill=0.0, return_argmax=False):
+    ctx = seg_context(_masked_sid(sid, mask, num_segments), num_segments)
+    if return_argmax:
+        return seg_max_argmax(ctx, values, fill=fill)
+    return seg_max(ctx, values, fill=fill)
+
+
+def seg_sum_onehot_matmul(values: jax.Array, sid: jax.Array, num_segments: int,
+                          chunk: int = 4096) -> jax.Array:
+    """Alternative exact segment-sum on the MXU: chunked one-hot matmul
+    one_hot(sid).T @ values. Used as a cross-check and for cases where a
+    sort is not already amortized. values (P, C) float."""
+    v, squeeze = _as_2d(values)
+    P, C = v.shape
+    pad = (-P) % chunk
+    if pad:
+        v = jnp.pad(v, ((0, pad), (0, 0)))
+        sid = jnp.pad(sid.reshape(-1), (0, pad), constant_values=num_segments)
+    v = v.reshape(-1, chunk, C).astype(jnp.float32)
+    sid = sid.reshape(-1, chunk)
+
+    def body(acc, xs):
+        vals, ids = xs
+        oh = jax.nn.one_hot(ids, num_segments, dtype=jnp.float32)  # (chunk, S)
+        acc = acc + jnp.einsum("ps,pc->sc", oh, vals,
+                               precision=lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+        return acc, None
+
+    init = jnp.zeros((num_segments, C), jnp.float32)
+    out, _ = lax.scan(body, init, (v, sid))
+    return out[:, 0] if squeeze else out

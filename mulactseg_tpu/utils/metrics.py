@@ -1,0 +1,120 @@
+"""Streaming segmentation metrics, accumulated on device.
+
+The reference keeps numpy accumulators updated per batch with a Python
+loop over classes (/root/reference/utils/miou.py:23-38). Here each update
+is one jitted confusion-matrix accumulation (one-hot matmul on the MXU),
+and seen/correct/positive are confusion-matrix marginals, so IoU,
+precision and recall come from the same state. The final per-class
+formulas match utils/miou.py:57-96 exactly, including the quirk that a
+class never seen in GT reports IoU 1 (:63-64).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "ignore_label"))
+def confusion_matrix(preds, targets, *, num_classes: int, ignore_label: int):
+    """(C, C) int32 confusion matrix: rows = GT class, cols = predicted.
+    Pixels whose GT equals ignore_label are dropped."""
+    p = preds.reshape(-1).astype(jnp.int32)
+    t = targets.reshape(-1).astype(jnp.int32)
+    valid = t != ignore_label
+    oh_t = jax.nn.one_hot(jnp.where(valid, t, 0), num_classes, dtype=jnp.float32)
+    oh_p = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    oh_t = oh_t * valid[:, None].astype(jnp.float32)
+    cm = jnp.einsum("pt,pc->tc", oh_t, oh_p,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
+
+
+class MeanIoU:
+    """Streaming per-class IoU with the reference's API shape
+    (_before_epoch/_after_step/_after_epoch, utils/miou.py:5-96)."""
+
+    def __init__(self, num_classes: int, ignore_label: int,
+                 output_tensor: str = "outputs", target_tensor: str = "targets"):
+        self.num_classes = num_classes
+        self.ignore_label = ignore_label
+        self.output_tensor = output_tensor
+        self.target_tensor = target_tensor
+        self._before_epoch()
+
+    def _before_epoch(self):
+        self.cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+
+    def _after_step(self, output_dict):
+        preds = output_dict[self.output_tensor]
+        targets = output_dict[self.target_tensor]
+        self.cm = self.cm + confusion_matrix(
+            jnp.asarray(preds), jnp.asarray(targets),
+            num_classes=self.num_classes, ignore_label=self.ignore_label)
+
+    # -- host-side summaries ------------------------------------------------
+    def _marginals(self):
+        cm = np.asarray(self.cm, dtype=np.float64)
+        seen = cm.sum(1)
+        positive = cm.sum(0)
+        correct = np.diag(cm)
+        return seen, correct, positive
+
+    def _after_epoch(self, ignore_label_list=None):
+        seen, correct, positive = self._marginals()
+        ious = []
+        for i in range(self.num_classes):
+            if ignore_label_list is not None and i in ignore_label_list:
+                continue
+            if seen[i] == 0:
+                ious.append(1.0)
+            else:
+                ious.append(correct[i] / (seen[i] + positive[i] - correct[i]))
+        return [v * 100 for v in ious]
+
+    def _after_epoch_ipr(self):
+        seen, correct, positive = self._marginals()
+        ious, precs, recs = [], [], []
+        for i in range(self.num_classes):
+            if seen[i] == 0:
+                ious.append(1.0); precs.append(1.0); recs.append(1.0)
+            else:
+                ious.append(correct[i] / (seen[i] + positive[i] - correct[i]))
+                precs.append(correct[i] / positive[i] if positive[i] else 0.0)
+                recs.append(correct[i] / seen[i])
+        return ([v * 100 for v in ious], [v * 100 for v in precs],
+                [v * 100 for v in recs])
+
+
+class IoUIgnore:
+    """IoU of the model's "undefined" prediction (class index C) against
+    GT-ignore regions (utils/miou_evalignore.py:8-62)."""
+
+    def __init__(self, num_classes: int, ignore_label: int):
+        self.num_classes = num_classes  # undefined channel index
+        self.ignore_label = ignore_label
+        self._before_epoch()
+
+    def _before_epoch(self):
+        self.seen = 0
+        self.correct = 0
+        self.positive = 0
+
+    def _after_step(self, output_dict):
+        preds = jnp.asarray(output_dict["outputs"]).reshape(-1)
+        targets = jnp.asarray(output_dict["targets"]).reshape(-1)
+        is_ignore = targets == self.ignore_label
+        is_pred = preds == self.num_classes
+        self.seen += int(jnp.sum(is_ignore))
+        self.positive += int(jnp.sum(is_pred))
+        self.correct += int(jnp.sum(is_ignore & is_pred))
+
+    def _after_epoch(self):
+        if self.seen == 0:
+            return 100.0
+        denom = self.seen + self.positive - self.correct
+        return (self.correct / denom) * 100 if denom else 0.0
