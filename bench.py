@@ -1,0 +1,90 @@
+"""Headline benchmark: stage-1 Cityscapes training-step throughput.
+
+Reference recipe (script/open_source/train_city_mul_res50.sh): batch 4,
+768x768 crops, deeplabv3pluswn_resnet50deepstem with 20 output classes
+(predignore), lossdecomp partial-label loss over nseg=2048 superpixels,
+AdamW + poly. The reference runs this single-GPU in PyTorch; measured
+community throughput for DeepLabV3+ R50 @768^2 fwd+bwd is ~10 img/s on an
+RTX 3090 and ~25 img/s on an A100 — BASELINE.md carries no in-repo
+numbers, so vs_baseline is computed against the A100 estimate
+(REF_IMG_PER_S below) pending a measured baseline.
+
+Measurement notes for this environment: the axon TPU tunnel has ~75 ms
+per-dispatch latency and a non-blocking block_until_ready, so the bench
+(like production training here) runs K optimizer steps per dispatch via
+the device-side lax.scan loop (engine/train.py make_train_step_scan) and
+forces a scalar fetch to time real completion.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REF_IMG_PER_S = 25.0  # estimated reference A100 throughput (see docstring)
+
+BATCH = 4
+H = W = 768
+NSEG = 2048
+NUM_CLASSES = 19  # +1 undefined
+K = 8  # steps per dispatch
+
+
+def main():
+    from mulactseg_tpu.config import Config
+    from mulactseg_tpu.engine.state import create_train_state
+    from mulactseg_tpu.engine.train import make_train_step_scan
+    from mulactseg_tpu.models import get_model
+
+    cfg = Config(num_classes=NUM_CLASSES, nseg=NSEG, crop_size=(H, W),
+                 train_batch_size=BATCH,
+                 method="active_joint_multi_predignore_lossdecomp",
+                 dtype="bfloat16")
+    model = get_model(cfg.model, num_classes=cfg.num_model_classes,
+                      output_stride=cfg.output_stride, dtype=jnp.bfloat16)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                               (BATCH, H, W, 3))
+    run = make_train_step_scan(model, cfg, K, donate=True)
+
+    rng = np.random.RandomState(0)
+    super_batch = {
+        "images": jnp.asarray(rng.randn(K, BATCH, H, W, 3), jnp.float32),
+        "target": jnp.asarray(
+            (rng.rand(K, BATCH, NSEG, NUM_CLASSES + 1) < 0.15), jnp.float32),
+        "spx": jnp.asarray(rng.randint(0, NSEG, (K, BATCH, H, W)), jnp.int32),
+        "spmask": jnp.asarray(rng.rand(K, BATCH, H, W) < 0.5),
+    }
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    key, k = jax.random.split(key)
+    state, auxs = run(state, super_batch, k)
+    _ = float(auxs["train_loss"][-1])  # forced fetch = real sync
+
+    dispatches = 4
+    t0 = time.perf_counter()
+    for _ in range(dispatches):
+        key, k = jax.random.split(key)
+        state, auxs = run(state, super_batch, k)
+    _ = float(auxs["train_loss"][-1])
+    dt = time.perf_counter() - t0
+
+    img_per_s = BATCH * K * dispatches / dt
+    print(json.dumps({
+        "metric": "cityscapes_stage1_train_throughput",
+        "value": round(img_per_s, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / REF_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

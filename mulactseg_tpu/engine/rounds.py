@@ -43,9 +43,11 @@ class ALTrainer:
         self.cfg = cfg
         self.selection_iter = selection_iter
         self.best_iou = 0.0
+        dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(cfg.dtype)
         self.model = get_model(cfg.model, num_classes=cfg.num_model_classes,
                                output_stride=cfg.output_stride,
-                               separable_conv=cfg.separable_conv)
+                               separable_conv=cfg.separable_conv,
+                               dtype=dtype)
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         h, w = cfg.crop_size
@@ -106,13 +108,10 @@ class ALTrainer:
         for it in range(total_itrs):
             batch = next(loader)
             device_batch = {
-                "images": jnp.asarray(batch["images"]),
-                "target": jnp.asarray(batch["target"]),
-                "spx": jnp.asarray(batch["spx"]),
-                "spmask": jnp.asarray(batch["spmask"]),
+                k: jnp.asarray(batch[k])
+                for k in ("images", "target", "spx", "spmask", "labels")
+                if k in batch
             }
-            if "labels" in batch and cfg.method in ("active_predignore", "active"):
-                device_batch["labels"] = jnp.asarray(batch["labels"])
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, aux = self.train_step(self.state, device_batch, step_rng)
             n_img += cfg.train_batch_size

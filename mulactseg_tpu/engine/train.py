@@ -127,6 +127,41 @@ def make_train_step(model, cfg, donate: bool = True):
     return jax.jit(step, donate_argnums=donate_args)
 
 
+def make_train_step_scan(model, cfg, steps_per_dispatch: int,
+                         donate: bool = True):
+    """K training steps per dispatch as a device-side lax.scan.
+
+    The reference dispatches one GPU step per Python iteration
+    (trainer/active.py:73-104); on TPU the host-device round trip per
+    step would dominate, so the loop lives on device: the host ships a
+    super-batch with a leading K dimension and gets back the state after
+    K optimizer updates plus the per-step loss trace.
+    """
+    criterion = get_criterion(cfg)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        total, aux = criterion(out, batch)
+        return total, (aux, mutated["batch_stats"])
+
+    def one_step(state, xs):
+        batch, rng = xs
+        (_, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        return state.apply_gradients(grads, new_bs), aux
+
+    def run(state, super_batch, rng):
+        rngs = jax.random.split(rng, steps_per_dispatch)
+        state, auxs = jax.lax.scan(one_step, state, (super_batch, rngs))
+        return state, auxs
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(run, donate_argnums=donate_args)
+
+
 def make_eval_step(model):
     @jax.jit
     def step(params, batch_stats, images):

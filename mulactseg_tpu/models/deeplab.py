@@ -32,26 +32,29 @@ class ASPP(nn.Module):
     atrous_rates: Sequence[int]
     out_channels: int = 256
     separable: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         size = x.shape[1:3]
-        res = [ConvBNReLU(self.out_channels, 1, init=kaiming_in,
+        dt = self.dtype
+        res = [ConvBNReLU(self.out_channels, 1, init=kaiming_in, dtype=dt,
                           name="b0")(x, train)]
         for i, rate in enumerate(self.atrous_rates):
             res.append(ConvBNReLU(self.out_channels, 3, dilation=rate,
                                   separable=self.separable, init=kaiming_in,
-                                  name=f"b{i + 1}")(x, train))
+                                  dtype=dt, name=f"b{i + 1}")(x, train))
         # image pooling branch
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
-        pooled = conv(self.out_channels, 1, init=kaiming_in, name="pool_conv")(pooled)
-        pooled = batch_norm(train, name="pool_bn")(pooled)
+        pooled = conv(self.out_channels, 1, init=kaiming_in, dtype=dt,
+                      name="pool_conv")(pooled)
+        pooled = batch_norm(train, name="pool_bn", dtype=dt)(pooled)
         pooled = nn.relu(pooled)
         pooled = jnp.broadcast_to(
             pooled, (x.shape[0], size[0], size[1], self.out_channels))
         res.append(pooled)
         y = jnp.concatenate(res, axis=-1)
-        y = ConvBNReLU(self.out_channels, 1, init=kaiming_in,
+        y = ConvBNReLU(self.out_channels, 1, init=kaiming_in, dtype=dt,
                        name="project")(y, train)
         y = nn.Dropout(0.1, deterministic=not train)(y)
         return y
@@ -65,24 +68,28 @@ class DeepLabHeadV3Plus(nn.Module):
     aspp_dilate: Sequence[int] = (6, 12, 18)
     variant: str = "plain"
     separable: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats, train: bool = False, return_feat: bool = False):
-        low = ConvBNReLU(48, 1, init=kaiming_in, name="project")(
+        dt = self.dtype
+        low = ConvBNReLU(48, 1, init=kaiming_in, dtype=dt, name="project")(
             feats["low_level"], train)
-        y = ASPP(self.aspp_dilate, separable=self.separable,
+        y = ASPP(self.aspp_dilate, separable=self.separable, dtype=dt,
                  name="aspp")(feats["out"], train)
         y = resize_bilinear(y, low.shape[1:3])
         y = jnp.concatenate([low, y], axis=-1)
         y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
-                       name="cls0")(y, train)
+                       dtype=dt, name="cls0")(y, train)
         if self.variant in ("c1", "wn"):
             y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
-                           name="cls1")(y, train)
+                           dtype=dt, name="cls1")(y, train)
         if self.variant == "wn":
-            # cosine-similarity logits (deeplabv3.py:97-100)
-            feat = y / jnp.sqrt(
-                jnp.sum(jnp.square(y), axis=-1, keepdims=True) + 1e-12)
+            # cosine-similarity logits (deeplabv3.py:97-100); normalization
+            # and the proxy matmul run in f32 for numerical stability.
+            y32 = y.astype(jnp.float32)
+            feat = y32 / jnp.sqrt(
+                jnp.sum(jnp.square(y32), axis=-1, keepdims=True) + 1e-12)
             proxy = self.param(
                 "proxy", kaiming_in, (1, 1, y.shape[-1], self.num_classes))
             proxy_n = proxy / jnp.sqrt(
@@ -91,7 +98,7 @@ class DeepLabHeadV3Plus(nn.Module):
             point_feature = feat
         else:
             logits = conv(self.num_classes, 1, use_bias=True, init=kaiming_in,
-                          name="final")(y)
+                          dtype=dt, name="final")(y)
             point_feature = y
         if return_feat:
             return point_feature, logits
@@ -149,8 +156,8 @@ class DeepLabV3(nn.Module):
         feats = self.backbone(x, train)
         if return_feat:
             feat, logits = self.classifier(feats, train, return_feat=True)
-            feat = resize_bilinear(feat, input_size)
-            logits = resize_bilinear(logits, input_size)
+            feat = resize_bilinear(feat, input_size).astype(jnp.float32)
+            logits = resize_bilinear(logits, input_size).astype(jnp.float32)
             return feat, logits
         logits = self.classifier(feats, train)
-        return resize_bilinear(logits, input_size)
+        return resize_bilinear(logits, input_size).astype(jnp.float32)

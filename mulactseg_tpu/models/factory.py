@@ -32,14 +32,16 @@ def _dilation_cfg(output_stride: int):
     return (False, False, True), (6, 12, 18)
 
 
-def _resnet_backbone(name: str, output_stride: int):
+def _resnet_backbone(name: str, output_stride: int, dtype=None):
     rswd, aspp = _dilation_cfg(output_stride)
     ctor = getattr(_resnet, name)
-    return ctor(replace_stride_with_dilation=rswd), aspp
+    return ctor(replace_stride_with_dilation=rswd, dtype=dtype), aspp
 
 
 def get_model(model: str, num_classes: int, output_stride: int = 16,
-              separable_conv: bool = False) -> nn.Module:
+              separable_conv: bool = False, dtype=None) -> nn.Module:
+    """dtype: compute dtype for the conv stack (e.g. jnp.bfloat16 for the
+    MXU fast path); params stay float32 and logits are returned in f32."""
     if model not in MODEL_NAMES:
         raise ValueError(f"unknown model {model!r}")
     arch, backbone_name = model.split("_", 1)
@@ -50,18 +52,19 @@ def get_model(model: str, num_classes: int, output_stride: int = 16,
         aspp = (12, 24, 36) if output_stride == 8 else (6, 12, 18)
         backbone = mobilenet_v2(output_stride=output_stride)
     else:
-        backbone, aspp = _resnet_backbone(backbone_name, output_stride)
+        backbone, aspp = _resnet_backbone(backbone_name, output_stride,
+                                          dtype=dtype)
 
     separable = separable_conv and "plus" in arch
     if arch == "deeplabv3plus":
         head = DeepLabHeadV3Plus(num_classes, aspp, variant="plain",
-                                 separable=separable)
+                                 separable=separable, dtype=dtype)
     elif arch == "deeplabv3plusc1":
         head = DeepLabHeadV3Plus(num_classes, aspp, variant="c1",
-                                 separable=separable)
+                                 separable=separable, dtype=dtype)
     elif arch == "deeplabv3pluswn":
         head = DeepLabHeadV3Plus(num_classes, aspp, variant="wn",
-                                 separable=separable)
+                                 separable=separable, dtype=dtype)
     elif arch == "deeplabv3":
         head = DeepLabHeadV3(num_classes, aspp)
     elif arch == "deeplabv2":

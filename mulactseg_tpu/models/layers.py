@@ -21,7 +21,7 @@ kaiming_in = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
          use_bias: bool = False, groups: int = 1, name: Optional[str] = None,
-         init=kaiming_out) -> nn.Conv:
+         init=kaiming_out, dtype=None) -> nn.Conv:
     pad = dilation * (kernel - 1) // 2
     return nn.Conv(
         features=features,
@@ -32,16 +32,19 @@ def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
         feature_group_count=groups,
         use_bias=use_bias,
         kernel_init=init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
         name=name,
     )
 
 
 def batch_norm(train: bool, name: Optional[str] = None,
-               momentum: float = 0.9) -> nn.BatchNorm:
+               momentum: float = 0.9, dtype=None) -> nn.BatchNorm:
     """torch BatchNorm2d(momentum=0.1) == flax momentum 0.9
     (running = 0.9*running + 0.1*batch; models/__init__.py:7 sets 0.1)."""
     return nn.BatchNorm(use_running_average=not train, momentum=momentum,
-                        epsilon=1e-5, name=name)
+                        epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
+                        name=name)
 
 
 class ConvBNReLU(nn.Module):
@@ -52,18 +55,21 @@ class ConvBNReLU(nn.Module):
     relu: bool = True
     separable: bool = False
     init: Callable = kaiming_out
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.separable and self.kernel > 1:
             # AtrousSeparableConvolution (deeplabv3.py:168-192)
             x = conv(x.shape[-1], self.kernel, self.stride, self.dilation,
-                     groups=x.shape[-1], name="depthwise", init=self.init)(x)
-            x = conv(self.features, 1, 1, 1, name="pointwise", init=self.init)(x)
+                     groups=x.shape[-1], name="depthwise", init=self.init,
+                     dtype=self.dtype)(x)
+            x = conv(self.features, 1, 1, 1, name="pointwise", init=self.init,
+                     dtype=self.dtype)(x)
         else:
             x = conv(self.features, self.kernel, self.stride, self.dilation,
-                     name="conv", init=self.init)(x)
-        x = batch_norm(train, name="bn")(x)
+                     name="conv", init=self.init, dtype=self.dtype)(x)
+        x = batch_norm(train, name="bn", dtype=self.dtype)(x)
         if self.relu:
             x = nn.relu(x)
         return x

@@ -32,22 +32,25 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     expansion: int = 4
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = conv(self.planes, 1, name="conv1")(x)
-        out = batch_norm(train, name="bn1")(out)
+        dt = self.dtype
+        out = conv(self.planes, 1, name="conv1", dtype=dt)(x)
+        out = batch_norm(train, name="bn1", dtype=dt)(out)
         out = nn.relu(out)
-        out = conv(self.planes, 3, self.stride, self.dilation, name="conv2")(out)
-        out = batch_norm(train, name="bn2")(out)
+        out = conv(self.planes, 3, self.stride, self.dilation, name="conv2",
+                   dtype=dt)(out)
+        out = batch_norm(train, name="bn2", dtype=dt)(out)
         out = nn.relu(out)
-        out = conv(self.planes * self.expansion, 1, name="conv3")(out)
-        out = batch_norm(train, name="bn3")(out)
+        out = conv(self.planes * self.expansion, 1, name="conv3", dtype=dt)(out)
+        out = batch_norm(train, name="bn3", dtype=dt)(out)
         if self.downsample:
             identity = conv(self.planes * self.expansion, 1, self.stride,
-                            name="downsample_conv")(x)
-            identity = batch_norm(train, name="downsample_bn")(identity)
+                            name="downsample_conv", dtype=dt)(x)
+            identity = batch_norm(train, name="downsample_bn", dtype=dt)(identity)
         return nn.relu(out + identity)
 
 
@@ -58,20 +61,24 @@ class ResNet(nn.Module):
     deep_stem: bool = False
     stem_width: int = 64
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, True)
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
         if self.deep_stem:
-            x = conv(self.stem_width, 3, 2, name="stem_conv1")(x)
-            x = batch_norm(train, name="stem_bn1")(x)
+            x = conv(self.stem_width, 3, 2, name="stem_conv1", dtype=dt)(x)
+            x = batch_norm(train, name="stem_bn1", dtype=dt)(x)
             x = nn.relu(x)
-            x = conv(self.stem_width, 3, 1, name="stem_conv2")(x)
-            x = batch_norm(train, name="stem_bn2")(x)
+            x = conv(self.stem_width, 3, 1, name="stem_conv2", dtype=dt)(x)
+            x = batch_norm(train, name="stem_bn2", dtype=dt)(x)
             x = nn.relu(x)
-            x = conv(self.stem_width * 2, 3, 1, name="stem_conv3")(x)
+            x = conv(self.stem_width * 2, 3, 1, name="stem_conv3", dtype=dt)(x)
         else:
-            x = conv(64, 7, 2, name="conv1")(x)
-        x = batch_norm(train, name="bn1")(x)
+            x = conv(64, 7, 2, name="conv1", dtype=dt)(x)
+        x = batch_norm(train, name="bn1", dtype=dt)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
 
@@ -91,11 +98,11 @@ class ResNet(nn.Module):
                 if b == 0:
                     need_ds = stride != 1 or inplanes != planes * 4
                     x = Bottleneck(planes, stride, prev_dilation,
-                                   downsample=need_ds,
+                                   downsample=need_ds, dtype=dt,
                                    name=f"layer{stage + 1}_{b}")(x, train)
                     inplanes = planes * 4
                 else:
-                    x = Bottleneck(planes, 1, dilation,
+                    x = Bottleneck(planes, 1, dilation, dtype=dt,
                                    name=f"layer{stage + 1}_{b}")(x, train)
             if stage == 0:
                 taps["low_level"] = x
