@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from mulactseg_tpu.ops.segment import seg_context, seg_max, seg_valid
+from mulactseg_tpu.ops.segment import segment_max_grad
 
 EPS = 1e-8
 
@@ -87,8 +87,11 @@ def group_multi_label_ce(logits, targets, spx, spmask, *, nseg, temp=1.0,
     sid = jnp.where(mask, spx, nseg)
 
     def one(s, v):
-        ctx = seg_context(s, nseg)
-        return seg_max(ctx, v), seg_valid(ctx)
+        mx, argpix = segment_max_grad(v, s, nseg)
+        # softmax probs are strictly positive, so a segment is present iff
+        # its argmax is in range (== the reference's empty-row detection,
+        # utils/loss.py:202-204)
+        return mx, argpix[:, 0] < v.shape[0]
 
     mx, present = jax.vmap(one)(sid, probs)  # (B,S,C), (B,S)
     entry = (trg > 0.5) & present[:, :, None]

@@ -64,8 +64,9 @@ def seg_context(sid: jax.Array, num_segments: int) -> SegContext:
     order = jnp.argsort(sid, stable=True)
     sorted_sid = sid[order]
     seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_sid, seg_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_sid, seg_ids, side="right").astype(jnp.int32)
+    # ids are integers >= 0, so left[s] == right[s-1]; one binary search pass
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
     return SegContext(order=order, sorted_sid=sorted_sid, starts=starts, ends=ends)
 
 
@@ -235,6 +236,83 @@ def scatter_max(values, sid, num_segments, mask=None, fill=0.0, return_argmax=Fa
     if return_argmax:
         return seg_max_argmax(ctx, values, fill=fill)
     return seg_max(ctx, values, fill=fill)
+
+
+# ---------------------------------------------------------------------------
+# Gradient-ready segment max with a cheap backward and a Pallas forward.
+#
+# Autodiff through the associative scan re-materializes the (P, C) array at
+# every scan level in the backward pass (measured 940 ms per stage-1 step on
+# TPU v5e). The VJP of segment-max is just "route the cotangent to the argmax
+# pixel", a single dense gather-compare, so we define it by hand; on TPU the
+# forward runs the single-pass Pallas kernel (ops/segment_pallas.py).
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+
+def _pallas_available() -> bool:
+    if _os.environ.get("MULACTSEG_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _seg_max_argmax_impl(values, sid, num_segments):
+    """(max (S,C) fill=0, argmax-pixel (S,C) fill=P)."""
+    sid = sid.reshape(-1).astype(jnp.int32)
+    if _pallas_available() and values.ndim == 2 and values.shape[1] <= 128:
+        from mulactseg_tpu.ops.segment_pallas import LANES, segment_max_pallas
+
+        ctx = seg_context(sid, num_segments)
+        P, C = values.shape
+        # pad to full 128-lane rows BEFORE the gather: aligned 512-byte row
+        # gathers are ~2.5x faster on TPU than 80-byte rows
+        v = values.astype(jnp.float32)
+        if C < LANES:
+            # barrier stops XLA from rewriting take(pad(v)) back into
+            # pad(take(v)) and losing the aligned-row gather (2.5x slower)
+            v = jax.lax.optimization_barrier(
+                jnp.pad(v, ((0, 0), (0, LANES - C))))
+        g = jnp.take(v, ctx.order, axis=0)
+        vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0)
+        vals, pos = vals[:, :C], pos[:, :C]
+        order_pad = jnp.concatenate(
+            [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
+        pix = order_pad[jnp.clip(pos, 0, P)]
+        return vals, pix
+    ctx = seg_context(sid, num_segments)
+    return seg_max_argmax(ctx, values, fill=0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_max_grad(values, sid, num_segments):
+    """Differentiable segment max: values (P, C), sid (P,) with invalid
+    pixels marked as num_segments. Returns (max (S,C), argmax_pixel (S,C));
+    absent segments give (0, P). Gradient flows only to argmax pixels."""
+    return _seg_max_argmax_impl(values, sid, num_segments)
+
+
+def _smg_fwd(values, sid, num_segments):
+    out, argpix = _seg_max_argmax_impl(values, sid, num_segments)
+    return (out, argpix), (sid.reshape(-1), argpix, values.shape[0])
+
+
+def _smg_bwd(num_segments, res, cts):
+    g, _ = cts  # argmax output carries no useful cotangent
+    sid, argpix, P = res
+    sid_c = jnp.clip(sid, 0, num_segments - 1)
+    arg_rows = jnp.take(argpix, sid_c, axis=0)  # (P, C)
+    g_rows = jnp.take(g, sid_c, axis=0)         # (P, C)
+    pix = jnp.arange(P, dtype=jnp.int32)[:, None]
+    live = (arg_rows == pix) & (sid < num_segments)[:, None]
+    dv = jnp.where(live, g_rows, 0.0).astype(jnp.float32)
+    return dv, None
+
+
+segment_max_grad.defvjp(_smg_fwd, _smg_bwd)
 
 
 def seg_sum_onehot_matmul(values: jax.Array, sid: jax.Array, num_segments: int,

@@ -1,0 +1,124 @@
+"""Pallas TPU kernel for segment max/argmax over sorted runs.
+
+The XLA associative-scan path (ops/segment.py) touches the (P, C) value
+array ~log2(P) times; at the stage-1 training shape (589k pixels x 20
+classes x batch 4) that is gigabytes of HBM traffic per step, and
+autodiff through the scan triples it. This kernel reads the sorted
+values exactly once: one grid program per segment DMAs its run
+[starts[s], ends[s]) from HBM in fixed-size chunks and keeps a running
+(max, first-argmax) in VMEM. Per-segment ranges come from the same
+searchsorted metadata the scan path uses.
+
+The public wrapper `segment_max_pallas` takes values in sorted order,
+padded to 128 lanes, and returns (max (S,128), argpos (S,128)) where
+argpos is the position in *sorted* order (callers map back through the
+sort permutation); absent segments report fill / P, matching
+torch_scatter semantics (see ops/segment.py docstring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+CHUNK = 512  # rows per DMA; runs longer than this loop over chunks
+
+
+SEGS_PER_BLOCK = 8  # TPU output tiles must be (8, 128)
+
+
+def _kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk, sem,
+            *, fill: float, P: int):
+    blk = pl.program_id(0)
+
+    def seg_body(j, _):
+        s = blk * SEGS_PER_BLOCK + j
+        st = starts_ref[s]
+        en = ends_ref[s]
+        # DMA-aligned base (sublane multiple of 8 for f32)
+        st0 = (st // 8) * 8
+        nch = lax.div(en - st0 + (CHUNK - 1), CHUNK)
+
+        def body(i, carry):
+            vmax, imax = carry
+            base = st0 + i * CHUNK
+            dma = pltpu.make_async_copy(g_hbm.at[pl.ds(base, CHUNK)],
+                                        chunk, sem)
+            dma.start()
+            dma.wait()
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, LANES), 0) + base
+            valid = (rows >= st) & (rows < en)
+            v = jnp.where(valid, chunk[:], -jnp.inf)
+            cmax = jnp.max(v, axis=0, keepdims=True)              # (1, LANES)
+            hit = v == cmax
+            cidx = jnp.min(jnp.where(hit & valid, rows, P), axis=0,
+                           keepdims=True)                          # (1, LANES)
+            take = cmax > vmax
+            vmax = jnp.where(take, cmax, vmax)
+            imax = jnp.where(take, cidx, imax)
+            return vmax, imax
+
+        init = (jnp.full((1, LANES), -jnp.inf, jnp.float32),
+                jnp.full((1, LANES), P, jnp.int32))
+        vmax, imax = lax.fori_loop(0, nch, body, init)
+        has = en > st
+        out_val[pl.ds(j, 1), :] = jnp.where(has, vmax, jnp.float32(fill))
+        out_idx[pl.ds(j, 1), :] = jnp.where(has, imax, jnp.int32(P))
+        return 0
+
+    lax.fori_loop(0, SEGS_PER_BLOCK, seg_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("fill", "interpret"))
+def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
+                       ends: jax.Array, fill: float = 0.0,
+                       interpret: bool = False):
+    """g_sorted: (P, C<=128) f32 values in segment-sorted order.
+    starts/ends: (S,) int32 run ranges. Returns ((S, C) max, (S, C)
+    argpos-in-sorted-order)."""
+    P, C = g_sorted.shape
+    S = starts.shape[0]
+    g = g_sorted
+    if C < LANES:
+        g = jnp.pad(g, ((0, 0), (0, LANES - C)), constant_values=0.0)
+    # pad rows so chunked DMAs past the last run stay in bounds
+    g = jnp.pad(g, ((0, CHUNK + 8), (0, 0)), constant_values=0.0)
+    # (callers on the hot path pre-pad to LANES so the pad above is free)
+    S_pad = (-S) % SEGS_PER_BLOCK
+    if S_pad:
+        starts = jnp.pad(starts, (0, S_pad))
+        ends = jnp.pad(ends, (0, S_pad))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((S + S_pad) // SEGS_PER_BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((SEGS_PER_BLOCK, LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEGS_PER_BLOCK, LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_val, out_idx = pl.pallas_call(
+        functools.partial(_kernel, fill=fill, P=P),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32),
+      g.astype(jnp.float32))
+    return out_val[:S, :C], out_idx[:S, :C]

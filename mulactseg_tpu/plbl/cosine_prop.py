@@ -1,0 +1,170 @@
+"""Cosine-prototype pseudo labels with neighborhood propagation.
+
+TPU re-design of the reference's slowest component — the double Python
+loop over superpixels in trainer/eval_save_cosplbl_prop.py:121-313
+(median thresholds + per-spx binary dilation + per-spx propagation).
+Here the whole image is processed as a handful of dense ops:
+
+  1. per-(superpixel, class) argmax pixels via the segment engine -> one
+     prototype feature per annotated class of each selected superpixel
+     (eval_save_cosplbl_prop.py:177-201); prototypes live in a static
+     (NP,) slot table ordered by flattened (spx, class) — the same order
+     the reference's nonzero() produces;
+  2. one chunked (pixels x prototypes) cosine-similarity matmul (MXU)
+     serves both the within-superpixel nearest-prototype assignment
+     (:213-230) and the propagation similarities (:276-305);
+  3. per-prototype median/min thresholds via one lexsort (:236-255);
+  4. propagation: every pixel picks the highest-id adjacent selected
+     superpixel with any prototype above threshold (reproducing the
+     reference's last-writer-wins loop order) and takes that
+     superpixel's best-similarity prototype class (:276-305);
+  5. within-superpixel assignments overwrite propagated ones (:309-310).
+
+Superpixel adjacency (the reference's per-spx binary_dilation loop,
+:257-266) is one vectorized numpy pass over 8-neighbor shift pairs,
+computed host-side while the TPU crunches the previous image.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulactseg_tpu.ops.segment import segment_max_grad
+
+NEG = -1e30
+
+
+def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
+                           targets: np.ndarray, max_protos: int,
+                           include_onehot: bool) -> Tuple[np.ndarray, ...]:
+    """Host-side prototype table + adjacency.
+
+    spx_map: (H, W) int; selected_ids: iterable of selected spx ids;
+    targets: (S, C) multi-hot. Returns
+      proto_sid (NP,), proto_cls (NP,), proto_valid (NP,),
+      proto_adj (NP, S) bool  — adjacency row of each prototype's owner
+                                 (3x3 dilation reach, includes itself).
+    """
+    S, C = targets.shape
+    sel = np.zeros(S, bool)
+    sel[np.asarray(list(selected_ids), dtype=np.int64)] = True
+    use = targets > 0
+    if not include_onehot:
+        use &= (targets.sum(1) > 1)[:, None]
+    use &= sel[:, None]
+    sid, cls = np.nonzero(use)
+    if len(sid) > max_protos:
+        sid, cls = sid[:max_protos], cls[:max_protos]
+    NP = max_protos
+    proto_sid = np.full(NP, S, np.int32)
+    proto_cls = np.zeros(NP, np.int32)
+    proto_valid = np.zeros(NP, bool)
+    proto_sid[:len(sid)] = sid
+    proto_cls[:len(cls)] = cls
+    proto_valid[:len(sid)] = True
+
+    # full adjacency in one pass: 8-neighbor (3x3) shift pairs
+    adj = np.zeros((S, S), bool)
+    m = spx_map
+    pairs = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            a = m[max(0, dy):m.shape[0] + min(0, dy),
+                  max(0, dx):m.shape[1] + min(0, dx)]
+            b = m[max(0, -dy):m.shape[0] + min(0, -dy),
+                  max(0, -dx):m.shape[1] + min(0, -dx)]
+            pairs.append(np.stack([a.reshape(-1), b.reshape(-1)], 1))
+    pairs = np.unique(np.concatenate(pairs), axis=0)
+    keep = (pairs[:, 0] < S) & (pairs[:, 1] < S)
+    pairs = pairs[keep]
+    adj[pairs[:, 0], pairs[:, 1]] = True
+    proto_adj = np.zeros((NP, S), bool)
+    proto_adj[:len(sid)] = adj[sid]
+    return proto_sid, proto_cls, proto_valid, proto_adj
+
+
+@functools.partial(jax.jit, static_argnames=("nseg", "threshold_median",
+                                             "chunk", "ignore_value"))
+def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
+                          proto_cls, proto_valid, proto_adj, *, nseg: int,
+                          threshold_median: bool = True, chunk: int = 65536,
+                          ignore_value: int = 255):
+    """Single-image pseudo-label map.
+
+    feats (P, Ch) L2-normalized; probs (P, C) softmax; spx (P,) int;
+    pixel_valid (P,) bool (spmask, already restricted to multi-hot spxs
+    unless include_onehot); proto_* from selected_spx_adjacency.
+    Returns (P,) int32 labels with `ignore_value` where unassigned.
+    """
+    P, Ch = feats.shape
+    C = probs.shape[-1]
+    NP = proto_sid.shape[0]
+    S = nseg
+
+    sid = jnp.where(pixel_valid, spx.astype(jnp.int32), S)
+    _, argpix = segment_max_grad(probs.astype(jnp.float32), sid, S)
+
+    src_pix = argpix[jnp.clip(proto_sid, 0, S - 1), proto_cls]  # (NP,)
+    proto_ok = proto_valid & (src_pix < P) & (proto_sid < S)
+    pf = jnp.take(feats, jnp.clip(src_pix, 0, P - 1), axis=0)
+    pf = jnp.where(proto_ok[:, None], pf, 0.0).astype(jnp.float32)  # (NP, Ch)
+    adj_t = proto_adj.T  # (S, NP)
+
+    pad = (-P) % chunk
+    feats_p = jnp.pad(feats.astype(jnp.float32), ((0, pad), (0, 0)))
+    spx_p = jnp.pad(spx.astype(jnp.int32), (0, pad), constant_values=0)
+
+    def pass1(carry, xs):
+        cf, cs = xs
+        sim = cf @ pf.T  # (T, NP) cosine similarities on the MXU
+        own = (proto_sid[None, :] == cs[:, None]) & proto_ok[None, :]
+        s_own = jnp.where(own, sim, NEG)
+        nn_sim = jnp.max(s_own, axis=-1)
+        nn_proto = jnp.argmax(s_own, axis=-1).astype(jnp.int32)
+        return carry, (nn_proto, nn_sim)
+
+    fcs = feats_p.reshape(-1, chunk, Ch)
+    scs = spx_p.reshape(-1, chunk)
+    _, (nn_proto, nn_sim) = jax.lax.scan(pass1, 0, (fcs, scs))
+    nn_proto = nn_proto.reshape(-1)[:P]
+    nn_sim = nn_sim.reshape(-1)[:P]
+
+    assigned = pixel_valid & (nn_sim > NEG / 2)
+    key = jnp.where(assigned, nn_proto, NP)
+    order = jnp.lexsort((nn_sim, key))
+    sorted_sim = nn_sim[order]
+    sorted_key = key[order]
+    ends = jnp.searchsorted(sorted_key, jnp.arange(NP, dtype=jnp.int32),
+                            side="right").astype(jnp.int32)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])
+    count = ends - starts
+    if threshold_median:
+        # torch.median = lower middle element (eval_save_cosplbl_prop.py:247)
+        pick = starts + jnp.maximum(count - 1, 0) // 2
+    else:
+        pick = starts
+    thr = jnp.where(count > 0, sorted_sim[jnp.clip(pick, 0, P - 1)], 1.0)
+
+    def pass2(carry, xs):
+        cf, cs = xs
+        sim = cf @ pf.T  # (T, NP)
+        cand = jnp.take(adj_t, cs, axis=0) & proto_ok[None, :]  # (T, NP)
+        passing = cand & (sim > thr[None, :])
+        src = jnp.max(jnp.where(passing, proto_sid[None, :], -1), axis=-1)
+        has = src >= 0
+        lbl_mask = cand & (proto_sid[None, :] == src[:, None])
+        s_lbl = jnp.where(lbl_mask, sim, NEG)
+        j = jnp.argmax(s_lbl, axis=-1)
+        lbl = proto_cls[j]
+        return carry, jnp.where(has, lbl, ignore_value).astype(jnp.int32)
+
+    _, prop = jax.lax.scan(pass2, 0, (fcs, scs))
+    plbl = prop.reshape(-1)[:P]
+    within = proto_cls[nn_proto]
+    plbl = jnp.where(assigned, within, plbl)
+    return plbl.astype(jnp.int32)

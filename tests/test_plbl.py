@@ -1,0 +1,186 @@
+"""Pseudo-label generation parity vs a direct numpy transcription of the
+reference algorithm (trainer/eval_save_cosplbl_prop.py:121-313 and
+eval_within_multihot.py:95-146)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mulactseg_tpu.plbl import (
+    cosine_prototype_plbl,
+    naive_argmax_plbl,
+    selected_spx_adjacency,
+    within_multihot_plbl,
+)
+
+
+def _softmax(x, axis):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _grid_spx(H, W, g):
+    ys = np.minimum(np.arange(H) * g // H, g - 1)
+    xs = np.minimum(np.arange(W) * g // W, g - 1)
+    return (ys[:, None] * g + xs[None, :]).astype(np.int32)
+
+
+def ref_cosplbl(feats, probs, targets, spx_map, spmask, S, include_onehot,
+                method="median"):
+    """Direct per-spx-loop transcription of the reference."""
+    H, W = spx_map.shape
+    P = H * W
+    C = targets.shape[1]
+    spx = spx_map.reshape(-1)
+    valid = spmask.reshape(-1).copy()
+    if not include_onehot:
+        multi = targets.sum(1) > 1
+        valid &= multi[spx]
+    plbl = np.full(P, 255, np.int64)
+    if not valid.any():
+        return plbl.reshape(H, W)
+
+    # per-(spx, class) argmax over valid pixels
+    argpix = np.full((S, C), -1, np.int64)
+    best = np.full((S, C), -np.inf)
+    for p in np.nonzero(valid)[0]:
+        s = spx[p]
+        for c in range(C):
+            if probs[p, c] > best[s, c]:
+                best[s, c] = probs[p, c]
+                argpix[s, c] = p
+    present = (argpix[:, 0] >= 0)
+
+    protos = []  # (sid, cls, feat)
+    for s in range(S):
+        if not present[s]:
+            continue
+        for c in range(C):
+            if targets[s, c] > 0:
+                protos.append((s, c, feats[argpix[s, c]]))
+    if not protos:
+        return plbl.reshape(H, W)
+    psid = np.array([p[0] for p in protos])
+    pcls = np.array([p[1] for p in protos])
+    pf = np.stack([p[2] for p in protos])
+
+    # within-spx nearest prototype for valid pixels
+    sim_all = pf @ feats.T  # (NP, P)
+    nn_proto = np.full(P, -1, np.int64)
+    nn_sim = np.full(P, -np.inf)
+    for p in np.nonzero(valid)[0]:
+        js = np.nonzero(psid == spx[p])[0]
+        if len(js) == 0:
+            continue
+        j = js[np.argmax(sim_all[js, p])]
+        nn_proto[p] = j
+        nn_sim[p] = sim_all[j, p]
+
+    # per-prototype threshold
+    thr = np.ones(len(protos))
+    for j in range(len(protos)):
+        sims = nn_sim[(nn_proto == j) & valid]
+        if len(sims):
+            if method == "median":
+                ss = np.sort(sims)
+                thr[j] = ss[(len(ss) - 1) // 2]  # torch lower-median
+            else:
+                thr[j] = sims.min()
+
+    # propagation, ascending spx id, last writer wins
+    for u in sorted(set(psid.tolist())):
+        binmap = (spx_map == u)
+        dil = np.zeros_like(binmap)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                sl = np.roll(np.roll(binmap, dy, 0), dx, 1)
+                if dy == 1:
+                    sl[0, :] = False
+                if dy == -1:
+                    sl[-1, :] = False
+                if dx == 1:
+                    sl[:, 0] = False
+                if dx == -1:
+                    sl[:, -1] = False
+                dil |= sl
+        nbrs = np.unique(spx_map[dil])
+        surr = np.isin(spx, nbrs)
+        js = np.nonzero(psid == u)[0]
+        sims = sim_all[js][:, surr]  # (nproto_u, nsurr)
+        lbl = pcls[js[np.argmax(sims, axis=0)]]
+        ok = (sims > thr[js][:, None]).any(axis=0)
+        idxs = np.nonzero(surr)[0]
+        plbl[idxs[ok]] = lbl[ok]
+
+    # within-spx overwrite
+    for p in np.nonzero(valid)[0]:
+        if nn_proto[p] >= 0:
+            plbl[p] = pcls[nn_proto[p]]
+    return plbl.reshape(H, W)
+
+
+@pytest.mark.parametrize("include_onehot,method", [(True, "median"),
+                                                   (False, "median"),
+                                                   (True, "min")])
+def test_cosine_prototype_plbl_parity(include_onehot, method):
+    rng = np.random.RandomState(0)
+    H = W = 12
+    g = 3
+    S, C, Ch = 9, 4, 8
+    spx_map = _grid_spx(H, W, g)
+    feats = rng.randn(H * W, Ch).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    probs = _softmax(rng.randn(H * W, C).astype(np.float32), 1)
+    targets = np.zeros((S, C), np.float32)
+    for s in range(S):
+        k = rng.randint(1, 3)
+        targets[s, rng.choice(C, k, replace=False)] = 1
+    selected = [0, 2, 4, 7]
+    spmask = np.isin(spx_map, selected)
+
+    want = ref_cosplbl(feats, probs, targets, spx_map, spmask, S,
+                       include_onehot, method)
+
+    proto_sid, proto_cls, proto_valid, proto_adj = selected_spx_adjacency(
+        spx_map, selected, S, targets, max_protos=32,
+        include_onehot=include_onehot)
+    pixel_valid = spmask.reshape(-1).copy()
+    if not include_onehot:
+        multi = targets.sum(1) > 1
+        pixel_valid &= multi[spx_map.reshape(-1)]
+    got = cosine_prototype_plbl(
+        jnp.asarray(feats), jnp.asarray(probs),
+        jnp.asarray(spx_map.reshape(-1)), jnp.asarray(pixel_valid),
+        jnp.asarray(proto_sid), jnp.asarray(proto_cls),
+        jnp.asarray(proto_valid), jnp.asarray(proto_adj),
+        nseg=S, threshold_median=(method == "median"), chunk=64)
+    got = np.asarray(got).reshape(H, W)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_within_multihot():
+    rng = np.random.RandomState(1)
+    B, H, W, C, S = 1, 6, 6, 4, 4
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    spx = _grid_spx(H, W, 2)[None]
+    targets = np.zeros((B, S, C), np.float32)
+    targets[0, :, :2] = 1
+    mask = spx < 2
+    got = np.asarray(within_multihot_plbl(
+        jnp.asarray(logits), jnp.asarray(targets), jnp.asarray(spx),
+        jnp.asarray(mask)))
+    lgm = logits.reshape(-1, C) * targets[0][spx.reshape(-1)]
+    want = np.where(mask.reshape(-1), lgm.argmax(1), 255)
+    np.testing.assert_array_equal(got.reshape(-1), want)
+
+
+def test_naive_argmax():
+    rng = np.random.RandomState(2)
+    logits = rng.randn(1, 4, 4, 5).astype(np.float32)
+    mask = np.zeros((1, 4, 4), bool)
+    mask[0, :2] = True
+    got = np.asarray(naive_argmax_plbl(jnp.asarray(logits), jnp.asarray(mask),
+                                       num_real_classes=4))
+    want = np.where(mask, logits[..., :4].argmax(-1), 255)
+    np.testing.assert_array_equal(got, want)
