@@ -1,0 +1,240 @@
+"""Dataset readers for the reference's on-disk formats.
+
+File formats (dataloader/region_cityscapes.py:48-101,137-153):
+  - datalist .txt: three tab-separated paths per line (image, label, spx);
+  - region dict .json: {spx_path: [size, missing_ids]} or {spx_path: ids};
+  - superpixel maps: .png/.jpg (int image) or .pkl (np archive with a
+    'labels' array);
+  - multi_hot_cls.npy (N, nseg, C+1) + sp_size.npy, indexed by label-file
+    stem through id_to_index (region_cityscapes_or_tensor.py:32-44).
+
+Differences from the reference by design: samples carry the multi-hot
+annotation under 'target' (the reference overloads 'labels'); transforms
+are the numpy PairedTransform pipeline; VOC and Cityscapes share one
+implementation (encode_fn hook instead of *_voc.py file twins).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from mulactseg_tpu.data.constants import ID_TO_TRAIN_ID
+from mulactseg_tpu.data.transforms import PairedTransform, normalize
+
+
+def load_region_dict(path: str) -> Dict[str, List[int]]:
+    with open(path) as f:
+        data = json.load(f)
+    first = next(iter(data.values()))
+    if isinstance(first, list) and len(first) == 2 and isinstance(first[1], list):
+        return {k: [i for i in range(size) if i not in missing]
+                for k, (size, missing) in data.items()}
+    return {k: list(v) for k, v in data.items()}
+
+
+def open_spx(path: str) -> np.ndarray:
+    ext = path.rsplit(".", 1)[-1]
+    if ext in ("png", "jpg"):
+        return np.asarray(Image.open(path), dtype=np.int32)
+    if ext == "pkl":
+        with open(path, "rb") as f:
+            arch = pickle.load(f)
+        return np.asarray(arch["labels"], dtype=np.int32)
+    if ext == "npy":
+        arch = np.load(path, allow_pickle=True)
+        if isinstance(arch, np.ndarray) and arch.dtype == object:
+            arch = arch.item()
+        if isinstance(arch, dict):
+            return np.asarray(arch["labels"], dtype=np.int32)
+        return np.asarray(arch, dtype=np.int32)
+    raise ValueError(f"unsupported superpixel file {path}")
+
+
+def encode_cityscapes(target: np.ndarray) -> np.ndarray:
+    return ID_TO_TRAIN_ID[np.asarray(target, dtype=np.int64)].astype(np.int32)
+
+
+def encode_identity(target: np.ndarray) -> np.ndarray:
+    return np.asarray(target, dtype=np.int32)
+
+
+def multi_hot_paths(cfg) -> Dict[str, str]:
+    """Reference path convention (region_cityscapes_or_tensor.py:27-34)."""
+    name = ("gtFine_multi_tensor_trim_{k}x{k}".format(k=cfg.trim_kernel_size)
+            if cfg.trim_multihot_boundary else "gtFine_multi_tensor")
+    base = os.path.join(cfg.data_root, "superpixel_seed", cfg.dataset,
+                        f"{cfg.spx_method}_{cfg.nseg}", "train", name)
+    return {"multi_hot_cls": os.path.join(base, "multi_hot_cls.npy"),
+            "sp_size": os.path.join(base, "sp_size.npy")}
+
+
+class RegionDatasetOr:
+    """Region dataset with precomputed multi-hot annotations
+    (RegionCityscapesOr, region_cityscapes_or_tensor.py:16-96)."""
+
+    def __init__(self, cfg, datalist: str, region_dict: str, split: str,
+                 transform: Optional[PairedTransform] = None,
+                 encode_fn: Callable = encode_cityscapes,
+                 multi_hot_cls: Optional[np.ndarray] = None,
+                 load_gt: bool = False):
+        self.cfg = cfg
+        self.split = split
+        self.transform = transform
+        self.encode_fn = encode_fn
+        self.load_gt = load_gt
+        region = load_region_dict(region_dict)
+        self.im_idx: List[List[str]] = []
+        self.suppix: Dict[str, List[int]] = {}
+        with open(datalist) as f:
+            lines = [l for l in f.read().splitlines() if l.strip()]
+        for line in lines:
+            img, lbl, spx = line.split("\t")
+            full = [os.path.join(cfg.data_root, p) for p in (img, lbl, spx)]
+            self.im_idx.append(full)
+            self.suppix[full[2]] = list(region[spx])
+        if multi_hot_cls is not None:
+            self.multi_hot_cls = multi_hot_cls
+        else:
+            self.multi_hot_cls = np.load(multi_hot_paths(cfg)["multi_hot_cls"])
+        self.isselected = np.zeros(self.multi_hot_cls.shape[:-1], np.float32)
+        self.id_to_index = {}
+        for index, line in enumerate(lines):
+            lbl = line.split("\t")[1]
+            self.id_to_index[os.path.basename(lbl).split(".")[0]] = index
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def _target_index(self, lbl_path: str) -> int:
+        return self.id_to_index[os.path.basename(lbl_path).split(".")[0]]
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_p, spx_p = self.im_idx[index]
+        image = np.asarray(Image.open(img_p).convert("RGB"))
+        spx = open_spx(spx_p)
+        target = np.asarray(self.multi_hot_cls[self._target_index(lbl_p)],
+                            np.float32)
+
+        if self.split == "active-ulabel":
+            if self.transform is not None:
+                image, (spx,) = self.transform(image, [spx])
+            else:
+                image = normalize(image)
+            return {"images": image, "spx": spx.astype(np.int32),
+                    "target": target, "fnames": self.im_idx[index]}
+
+        labels = [spx]
+        if self.load_gt:
+            gt = self.encode_fn(np.asarray(Image.open(lbl_p)))
+            labels = [gt, spx]
+        if self.transform is not None:
+            image, labels = self.transform(image, labels)
+        else:
+            image = normalize(image)
+        spx = labels[-1].astype(np.int32)
+        selected = self.suppix.get(spx_p, [])
+        spmask = np.isin(spx, selected)
+        sample = {"images": image, "target": target, "spx": spx,
+                  "spmask": spmask, "fnames": self.im_idx[index]}
+        if self.load_gt:
+            sample["labels"] = labels[0].astype(np.int32)
+        return sample
+
+
+class EvalRegionDatasetAll:
+    """Full-resolution loader for pseudo-label generation
+    (eval_region_cityscapes_all.py:10-69): precise GT with 255 mapped to
+    the extra class, identity transform, spmask over the labeled set."""
+
+    def __init__(self, cfg, base: RegionDatasetOr, suppix: Dict[str, List[int]]):
+        self.cfg = cfg
+        self.base = base
+        self.suppix = suppix
+        self.im_idx = sorted([k for k in base.im_idx if k[2] in suppix])
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_p, spx_p = self.im_idx[index]
+        image = normalize(np.asarray(Image.open(img_p).convert("RGB")))
+        gt = self.base.encode_fn(np.asarray(Image.open(lbl_p)))
+        gt = np.where(gt == self.cfg.ignore_idx, self.cfg.num_classes,
+                      gt).astype(np.int32)
+        spx = open_spx(spx_p)
+        target = np.asarray(
+            self.base.multi_hot_cls[self.base._target_index(lbl_p)],
+            np.float32)
+        spmask = np.isin(spx, self.suppix.get(spx_p, []))
+        return {"images": image, "labels": gt, "spx": spx.astype(np.int32),
+                "spmask": spmask, "target": target,
+                "fnames": [img_p, lbl_p, spx_p]}
+
+
+class RegionDatasetPlbl:
+    """Stage-2 loader: saved pseudo-label PNGs as training targets
+    (region_cityscapes_plbl.py:18-48)."""
+
+    def __init__(self, cfg, im_idx: List[List[str]], plbl_dir: str,
+                 transform: Optional[PairedTransform] = None):
+        self.cfg = cfg
+        self.im_idx = list(im_idx)
+        self.plbl_dir = plbl_dir
+        self.transform = transform
+        self.suppix: Dict[str, List[int]] = {}
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_p, _ = self.im_idx[index]
+        image = np.asarray(Image.open(img_p).convert("RGB"))
+        lbl_id = os.path.basename(lbl_p).split(".")[0]
+        plbl = np.asarray(Image.open(
+            os.path.join(self.plbl_dir, f"{lbl_id}.png")), dtype=np.int32)
+        if self.transform is not None:
+            image, (plbl,) = self.transform(image, [plbl])
+        else:
+            image = normalize(image)
+        return {"images": image, "labels": plbl.astype(np.int32),
+                "fnames": self.im_idx[index]}
+
+
+class ValDataset:
+    """Validation/eval dataset: (image, GT) pairs from a datalist
+    (dataloader/dataset.py CityscapesGTA5/VOC conventions)."""
+
+    def __init__(self, cfg, datalist: str,
+                 transform: Optional[PairedTransform] = None,
+                 encode_fn: Callable = encode_cityscapes):
+        self.cfg = cfg
+        self.transform = transform
+        self.encode_fn = encode_fn
+        self.im_idx: List[List[str]] = []
+        with open(datalist) as f:
+            for line in f.read().splitlines():
+                if not line.strip():
+                    continue
+                parts = line.split("\t")
+                self.im_idx.append(
+                    [os.path.join(cfg.data_root, p) for p in parts[:2]])
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_p = self.im_idx[index]
+        image = np.asarray(Image.open(img_p).convert("RGB"))
+        gt = self.encode_fn(np.asarray(Image.open(lbl_p)))
+        if self.transform is not None:
+            image, (gt,) = self.transform(image, [gt])
+        else:
+            image = normalize(image)
+        return {"images": image, "labels": gt.astype(np.int32),
+                "fnames": self.im_idx[index]}

@@ -1,0 +1,164 @@
+"""Round-trip tests of the reference on-disk formats: datalist txt +
+region dict json + multi_hot npy + spx pkl/png + plbl PNGs, plus the
+offline label-assignment tools."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mulactseg_tpu.config import Config
+from mulactseg_tpu.data import (
+    EvalRegionDatasetAll,
+    RegionDatasetOr,
+    RegionDatasetPlbl,
+    ValDataset,
+    encode_identity,
+    load_region_dict,
+    open_spx,
+)
+from mulactseg_tpu.data.synthetic import grid_superpixels
+from mulactseg_tpu.tools.label_assignment import (
+    dominant_label_for_image,
+    generate_multi_hot_dataset,
+    multi_hot_for_image,
+)
+
+
+@pytest.fixture()
+def disk_fixture(tmp_path):
+    """Write a 2-image dataset in the reference's layout."""
+    rng = np.random.RandomState(0)
+    H = W = 24
+    S, C = 16, 5
+    root = tmp_path
+    rows = []
+    region = {}
+    gts = []
+    spx_map = grid_superpixels(H, W, S)
+    for i in range(2):
+        img = rng.randint(0, 255, (H, W, 3), np.uint8)
+        gt = rng.randint(0, C, (H, W)).astype(np.uint8)
+        gt[0, :4] = 255
+        gts.append(gt)
+        Image.fromarray(img).save(root / f"img_{i}.png")
+        Image.fromarray(gt).save(root / f"lbl_{i}.png")
+        if i == 0:
+            with open(root / f"spx_{i}.pkl", "wb") as f:
+                pickle.dump({"labels": spx_map}, f)
+            spx_name = f"spx_{i}.pkl"
+        else:
+            Image.fromarray(spx_map.astype(np.int32), mode="I").save(
+                root / f"spx_{i}.png")
+            spx_name = f"spx_{i}.png"
+        rows.append(f"img_{i}.png\tlbl_{i}.png\t{spx_name}")
+        region[spx_name] = [S, [3]]  # id 3 missing
+    datalist = root / "train.txt"
+    datalist.write_text("\n".join(rows))
+    (root / "train.dict").write_text(json.dumps(region))
+
+    mh, sizes = generate_multi_hot_dataset(
+        [(g, spx_map) for g in gts], S, C, str(root / "mh"), trim=False)
+    cfg = Config(num_classes=19, nseg=S, data_root=str(root),
+                 or_labeling=True, loader="region_or_tensor")
+    return cfg, root, datalist, gts, spx_map, mh, S, C
+
+
+def test_region_dataset_or_roundtrip(disk_fixture):
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    ds = RegionDatasetOr(cfg, str(datalist), str(root / "train.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh)
+    assert len(ds) == 2
+    assert ds.suppix[ds.im_idx[0][2]] == [i for i in range(S) if i != 3]
+    # select a couple of spxs, check spmask
+    ds.suppix[ds.im_idx[0][2]] = [0, 5]
+    s = ds[0]
+    assert s["images"].shape == (24, 24, 3)
+    assert s["target"].shape == (S, C + 1)
+    want_mask = np.isin(spx_map, [0, 5])
+    np.testing.assert_array_equal(s["spmask"], want_mask)
+    # pool item
+    ds.split = "active-ulabel"
+    p = ds[1]
+    assert "spx" in p and p["spx"].dtype == np.int32
+
+
+def test_eval_all_and_plbl_roundtrip(disk_fixture, tmp_path):
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    ds = RegionDatasetOr(cfg, str(datalist), str(root / "train.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh)
+    suppix = {ds.im_idx[0][2]: [0, 1]}
+    ev = EvalRegionDatasetAll(cfg, ds, suppix)
+    assert len(ev) == 1
+    item = ev[0]
+    # 255 GT pixels remapped to the extra class (num_classes)
+    assert (item["labels"] == cfg.num_classes).sum() == 4
+    assert item["spmask"].sum() == np.isin(spx_map, [0, 1]).sum()
+
+    # stage-2 plbl loader
+    plbl_dir = tmp_path / "plbl"
+    plbl_dir.mkdir()
+    fake = np.full((24, 24), 7, np.uint8)
+    Image.fromarray(fake).save(plbl_dir / "lbl_0.png")
+    s2 = RegionDatasetPlbl(cfg, [ds.im_idx[0]], str(plbl_dir))
+    item = s2[0]
+    assert (item["labels"] == 7).all()
+
+
+def test_val_dataset(disk_fixture):
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    vl = root / "val.txt"
+    vl.write_text("img_0.png\tlbl_0.png")
+    ds = ValDataset(cfg, str(vl), encode_fn=encode_identity)
+    item = ds[0]
+    np.testing.assert_array_equal(item["labels"], gts[0].astype(np.int32))
+
+
+def test_open_spx_formats(disk_fixture):
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    a = open_spx(str(root / "spx_0.pkl"))
+    b = open_spx(str(root / "spx_1.png"))
+    np.testing.assert_array_equal(a, spx_map)
+    np.testing.assert_array_equal(b, spx_map)
+
+
+def test_multi_hot_tool_against_bruteforce():
+    rng = np.random.RandomState(1)
+    H = W = 30
+    S, C = 9, 4
+    spx = grid_superpixels(H, W, S)
+    gt = rng.randint(0, C, (H, W))
+    gt[rng.rand(H, W) < 0.1] = 255
+    mh, sizes = multi_hot_for_image(gt, spx, S, C, trim=False)
+    for s in range(S):
+        m = spx == s
+        present = set(np.unique(gt[m]).tolist())
+        for c in range(C):
+            assert mh[s, c] == (c in present)
+        assert mh[s, C] == (255 in present)
+        assert sizes[s] == m.sum()
+
+
+def test_multi_hot_trim_vanish_fallback():
+    # a 1-pixel-wide superpixel vanishes under trim -> falls back to full
+    spx = np.zeros((8, 8), np.int32)
+    spx[:, 4:] = 1
+    gt = np.zeros((8, 8), np.int64)
+    gt[:, 4:] = 2
+    mh, sizes = multi_hot_for_image(gt, spx, 4, 3, trim=True, trim_kernel=5)
+    assert mh[0, 0] == 1 and mh[1, 2] == 1  # both survive via fallback
+
+
+def test_dominant_label():
+    spx = grid_superpixels(6, 6, 4)
+    gt = np.zeros((6, 6), np.int64)
+    gt[spx == 1] = 2
+    gt[0, 3] = 255  # minority ignore in spx 1
+    dom = dominant_label_for_image(gt, spx, 4, 3)
+    assert (dom[spx == 1] == 2).all()
+    assert (dom[spx == 0] == 0).all()

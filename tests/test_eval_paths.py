@@ -1,0 +1,107 @@
+"""Sliding-window eval, TTA feat-forward, and the pseudo-label generator
+driven end-to-end on the synthetic fixture."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mulactseg_tpu.config import Config
+from mulactseg_tpu.data.loader import DataProvider
+from mulactseg_tpu.data.synthetic import SyntheticRegionDataset
+from mulactseg_tpu.engine.sliding import SlidingEval, _window_grid
+from mulactseg_tpu.engine.tta import tta_feat_forward
+from mulactseg_tpu.models.deeplab import DeepLabHeadV3Plus, DeepLabV3
+from mulactseg_tpu.models.resnet import ResNet
+from mulactseg_tpu.plbl.generator import PseudoLabelGenerator, plbl_save_dir
+
+
+def tiny_model(num_classes):
+    bb = ResNet(layers=(1, 1, 1, 1), deep_stem=True, stem_width=8)
+    head = DeepLabHeadV3Plus(num_classes, (2, 4, 6), variant="wn")
+    return DeepLabV3(backbone=bb, classifier=head)
+
+
+def _init(num_classes=6, size=48):
+    m = tiny_model(num_classes)
+    x = jnp.ones((1, size, size, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return m, v
+
+
+def test_window_grid_covers_image():
+    padH, padW, pos = _window_grid(100, 160, 64, 2 / 3)
+    cover = np.zeros((padH, padW), int)
+    for y, x in pos:
+        cover[y:y + 64, x:x + 64] += 1
+    assert (cover > 0).all()
+
+
+def test_sliding_eval_matches_direct_on_small_image():
+    # image smaller than one crop: sliding == direct forward
+    m, v = _init()
+    se = SlidingEval(m, num_classes=6, crop_size=64, stride_rate=2 / 3)
+    img = jnp.asarray(np.random.RandomState(0).randn(1, 48, 48, 3),
+                      jnp.float32)
+    out = se(v["params"], v["batch_stats"], img)
+    # 48 < crop 64: single window, center-padded; compare against direct
+    # forward on the padded image cropped back
+    pad = jnp.pad(img, ((0, 0), (8, 8), (8, 8), (0, 0)))
+    want = m.apply(v, pad, train=False)[:, 8:56, 8:56, :]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-4)
+
+
+def test_sliding_eval_overlap_sums():
+    m, v = _init()
+    se = SlidingEval(m, num_classes=6, crop_size=64, stride_rate=2 / 3)
+    img = jnp.asarray(np.random.RandomState(1).randn(1, 80, 112, 3),
+                      jnp.float32)
+    out = se(v["params"], v["batch_stats"], img)
+    assert out.shape == (1, 80, 112, 6)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tta_shapes_and_flip_consistency():
+    m, v = _init()
+    img = jnp.asarray(np.random.RandomState(2).randn(1, 32, 32, 3),
+                      jnp.float32)
+    feat, logits = tta_feat_forward(m, v["params"], v["batch_stats"], img,
+                                    scales=(1.0,))
+    assert feat.shape == (1, 32, 32, 256)
+    assert logits.shape == (1, 32, 32, 6)
+    # feats re-normalized
+    norms = np.linalg.norm(np.asarray(feat), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_plbl_generator_end_to_end(tmp_path):
+    cfg = Config(num_classes=5, nseg=16, val_batch_size=1,
+                 method="active_joint_multi_predignore_lossdecomp")
+    m, v = _init(num_classes=6, size=32)
+    ds = SyntheticRegionDataset(n_images=2, H=32, W=32, num_classes=5,
+                                nseg=16, split="active-label", seed=3)
+    # fake "eval-all" items: labels with 255 -> extra class, batch of 1
+    class EvalView:
+        def __len__(self):
+            return len(ds)
+        def __getitem__(self, i):
+            s = ds[i]
+            gt = np.where(s["labels"] == 255, cfg.num_classes, s["labels"])
+            # multi-hot includes undefined channel: C+1 = 6 == model classes
+            return {"images": s["images"], "labels": gt, "spx": s["spx"],
+                    "spmask": s["spmask"], "target": s["target"],
+                    "fnames": s["fnames"]}
+
+    loader = DataProvider(EvalView(), 1, shuffle=False, drop_last=False,
+                          infinite=False, num_workers=1)
+    gen = PseudoLabelGenerator(m, cfg, plbl_type="cosprop_includeonehot",
+                               max_protos=64)
+    save_dir = str(tmp_path / "plbl")
+    miou, iou_t, prec_t, rec_t = gen.generate(
+        v["params"], v["batch_stats"], loader, save_dir=save_dir,
+        suppix=ds.suppix)
+    assert 0 <= miou <= 100
+    import os
+    files = os.listdir(save_dir)
+    assert len(files) == 2 and all(f.endswith(".png") for f in files)
+    assert plbl_save_dir("/x/checkpoint00.tar", "cosprop", "00").endswith(
+        "plbl_gen_cosprop/round_00")
