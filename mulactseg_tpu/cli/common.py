@@ -1,0 +1,69 @@
+"""Shared CLI wiring: config -> datasets -> active set (the
+get_active_dataset / initialization plumbing of train_AL.py:18-36 and
+dataloader/__init__.py:112-149)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from mulactseg_tpu.active import RegionActiveSet
+from mulactseg_tpu.data import (
+    DataProvider,
+    RegionDatasetOr,
+    SyntheticRegionDataset,
+    ValDataset,
+    encode_cityscapes,
+    encode_identity,
+    get_train_transform,
+    get_val_transform,
+)
+from mulactseg_tpu.utils.logging import MetricsSink, get_file_logger
+
+
+def seed_everything(seed: int):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def build_active_datasets(cfg):
+    """Returns (active_set, val_dataset). loader='synthetic' builds the
+    in-memory fixture (CI/smoke); otherwise the real region readers."""
+    if cfg.loader.startswith("synthetic"):
+        mk = lambda split: SyntheticRegionDataset(
+            n_images=8, H=cfg.crop_size[0], W=cfg.crop_size[1],
+            num_classes=cfg.num_classes, nseg=cfg.nseg, split=split,
+            seed=cfg.seed)
+        pool = mk("active-ulabel")
+        label = mk("active-label")
+        label.suppix = {}
+        label.im_idx = []
+        val = mk("val")
+        return RegionActiveSet(cfg, pool, label), val
+
+    encode = encode_cityscapes if cfg.dataset == "cityscapes" else encode_identity
+    train_tf = get_train_transform(cfg.train_transform, cfg, seed=cfg.seed)
+    label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
+                            split="active-label", transform=train_tf,
+                            encode_fn=encode)
+    pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
+                           split="active-ulabel", transform=None,
+                           encode_fn=encode,
+                           multi_hot_cls=label.multi_hot_cls)
+    label.suppix = {}
+    label.im_idx = []
+    val_list = os.path.join(cfg.datalist_dir, "val.txt")
+    val = (ValDataset(cfg, val_list, transform=get_val_transform(cfg),
+                      encode_fn=encode)
+           if os.path.exists(val_list) else None)
+    return RegionActiveSet(cfg, pool, label), val
+
+
+def setup_run(cfg):
+    seed_everything(cfg.seed)
+    os.makedirs(cfg.model_save_dir, exist_ok=True)
+    logger = get_file_logger(cfg.model_save_dir)
+    sink = MetricsSink(cfg.model_save_dir)
+    return logger, sink

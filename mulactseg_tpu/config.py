@@ -114,11 +114,12 @@ class Config:
 
     def validate(self):
         """arg_assert equivalents (utils/common.py:177-201)."""
-        if self.dataset == "voc":
-            assert self.num_classes == 21
-        if self.dataset == "cityscapes":
-            assert self.num_classes == 19
-        if self.or_labeling:
+        if not self.loader.startswith("synthetic"):
+            if self.dataset == "voc":
+                assert self.num_classes == 21
+            if self.dataset == "cityscapes":
+                assert self.num_classes == 19
+        if self.or_labeling and not self.stage2:
             assert "or" in self.loader or "tensor" in self.loader or \
                 self.loader.startswith("synthetic")
         if "plbl" in self.loader:
