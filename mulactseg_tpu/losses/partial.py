@@ -133,6 +133,11 @@ def lossdecomp(logits, targets, spx, spmask, *, nseg, coeff=16.0, coeff_mc=8.0,
     NOTE: ce_temp is accepted for config parity; the decomposed CE term uses
     multi_ce_temp, exactly as the reference's OnehotCEMultihotChoice does.
 
+    (A single-softmax fused variant was measured SLOWER on TPU than this
+    composed form — sharing the (B,P,C) probs forces XLA to materialize
+    190MB instead of recomputing softmax inside each consumer's fusion —
+    so the terms stay composed on purpose.)
+
     Returns (total, aux dict).
     """
     del ce_temp  # parity: reference passes multi_ce_temp to both CE and MC terms

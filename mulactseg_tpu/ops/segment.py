@@ -304,8 +304,22 @@ def _smg_bwd(num_segments, res, cts):
     g, _ = cts  # argmax output carries no useful cotangent
     sid, argpix, P = res
     sid_c = jnp.clip(sid, 0, num_segments - 1)
-    arg_rows = jnp.take(argpix, sid_c, axis=0)  # (P, C)
-    g_rows = jnp.take(g, sid_c, axis=0)         # (P, C)
+    C = g.shape[-1]
+    if 2 * C <= 128:
+        # pack (cotangent, argmax) into one aligned 128-lane row so the
+        # per-pixel lookup is a single fast gather (see the forward's
+        # aligned-gather note)
+        packed = jnp.concatenate(
+            [g.astype(jnp.float32),
+             jax.lax.bitcast_convert_type(argpix, jnp.float32)], axis=1)
+        packed = jax.lax.optimization_barrier(
+            jnp.pad(packed, ((0, 0), (0, 128 - 2 * C))))
+        rows = jnp.take(packed, sid_c, axis=0)  # (P, 128)
+        g_rows = rows[:, :C]
+        arg_rows = jax.lax.bitcast_convert_type(rows[:, C:2 * C], jnp.int32)
+    else:
+        arg_rows = jnp.take(argpix, sid_c, axis=0)
+        g_rows = jnp.take(g, sid_c, axis=0)
     pix = jnp.arange(P, dtype=jnp.int32)[:, None]
     live = (arg_rows == pix) & (sid < num_segments)[:, None]
     dv = jnp.where(live, g_rows, 0.0).astype(jnp.float32)
