@@ -170,6 +170,47 @@ class BvsbPredClsbalPwrSelector(RegionSelector):
         return self.gen_score_list_from_tensor(pool_set, scores, keys)
 
 
+class BvsbClsbalV2Selector(RegionSelector):
+    """my_bvsb_clsbal_v2.py: BvSB region means, min-max normalized, then
+    weighted by exp(-estimated dominant-label distribution) where the
+    distribution comes from per-region top-1-vote dominant classes (Cai
+    CVPR'21 style; my_bvsb_clsbal_v2.py:22-73)."""
+
+    def __init__(self, cfg, ban_ignore=False):
+        super().__init__(cfg)
+        self.ban_ignore = ban_ignore
+        self.active_method = ("my_bvsb_clsbal_v2_banignore" if ban_ignore
+                              else "my_bvsb_clsbal_v2")
+
+    def calculate_scores(self, trainer, pool_set):
+        cfg = self.cfg
+        rows, votes_rows, keys = [], [], []
+        for batch in self._pool_loader(pool_set):
+            logits = trainer.predict_logits(batch["images"])
+            spx = jnp.asarray(batch["spx"])
+            r, v = scoring.region_weighted_bvsb_and_votes(
+                logits, spx, jnp.ones((logits.shape[-1],), jnp.float32),
+                nseg=self.num_superpixels, temp=cfg.ce_temp)
+            rows.append(np.asarray(r))
+            votes_rows.append(np.asarray(v))
+            keys.extend(batch["fnames"])
+        scores = np.concatenate(rows, axis=0)
+        votes = np.concatenate(votes_rows, axis=0)
+        scores = np.asarray(scoring.minmax_normalize(jnp.asarray(scores)))
+        flat_votes = votes.reshape(-1, votes.shape[-1])
+        dominant = flat_votes.argmax(axis=1)
+        dist = np.bincount(dominant, minlength=votes.shape[-1]).astype(
+            np.float64)
+        dist = dist / max(dist.sum(), 1)
+        cls_weight = np.exp(-dist)
+        weighted = (cls_weight[dominant] *
+                    scores.reshape(-1)).reshape(scores.shape)
+        if self.ban_ignore:
+            weighted = np.asarray(scoring.ban_ignore_dominant(
+                jnp.asarray(weighted), jnp.asarray(votes)))
+        return self.gen_score_list_from_tensor(pool_set, weighted, keys)
+
+
 SELECTORS = {
     "my_random": lambda cfg: RandomSelector(cfg, seed=cfg.seed),
     "dummy": DummySelector,
@@ -179,6 +220,10 @@ SELECTORS = {
         cfg, ban_ignore=False),
     "my_bvsb_predclsbal_pwr_banignore": lambda cfg:
         BvsbPredClsbalPwrSelector(cfg, ban_ignore=True),
+    "my_bvsb_clsbal_v2": lambda cfg: BvsbClsbalV2Selector(
+        cfg, ban_ignore=False),
+    "my_bvsb_clsbal_v2_banignore": lambda cfg: BvsbClsbalV2Selector(
+        cfg, ban_ignore=True),
 }
 
 

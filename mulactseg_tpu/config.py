@@ -75,6 +75,10 @@ class Config:
     coeff_gm: float = 1.0
     group_only_single: bool = False
     gumbel_scale: float = -1.0
+    entcoeff: float = 1.0       # multient trainer entropy weight
+    lamparam: float = 0.1       # online-plbl ramp damping (utils/scheduler.py:15-28)
+    lamscale: float = 1.0
+    dorampup: bool = True
 
     # --- active learning protocol -------------------------------------------
     max_iterations: int = 5

@@ -29,7 +29,13 @@ from mulactseg_tpu.losses import (
     group_multi_label_ce,
     lossdecomp,
     multi_choice_ce,
+    multi_choice_ent,
     onehot_ce_multihot_choice,
+)
+from mulactseg_tpu.losses.partial import (
+    exclusive_ce,
+    onehot_ce_multihot_rc,
+    onehot_ce_multihot_topone,
 )
 
 
@@ -87,6 +93,128 @@ def _ce_loss(cfg):
     return fn
 
 
+def _precise_loss(cfg, with_group=True):
+    """Oracle trainers (active_joint_multi_predignore_precise.py:21-46 /
+    _multice_precise): precise CE on the GT masked to selected
+    superpixels, plus group or MC partial terms."""
+    def fn(logits, batch):
+        ce = _zero_if_nan(cross_entropy(logits, batch["labels"],
+                                        temp=cfg.ce_temp,
+                                        ignore_index=cfg.ignore_idx))
+        if with_group:
+            other = group_multi_label_ce(
+                logits, batch["target"], batch["spx"], batch["spmask"],
+                nseg=cfg.nseg, temp=cfg.group_ce_temp, slice_last=False)
+        else:
+            other = multi_choice_ce(
+                logits, batch["target"], batch["spx"], batch["spmask"],
+                temp=cfg.multi_ce_temp, slice_last=False)
+        total = ce + other
+        return total, {"train_loss": total, "ce_loss": ce,
+                       ("group_loss" if with_group else "pos_loss"): other}
+    return fn
+
+
+def _multient_loss(cfg):
+    """coeff*MC + group + entcoeff*entropy-in-candidates
+    (active_joint_multi_predignore_multient.py:103-106)."""
+    def fn(logits, batch):
+        args = (logits, batch["target"], batch["spx"], batch["spmask"])
+        group = group_multi_label_ce(*args, nseg=cfg.nseg,
+                                     temp=cfg.group_ce_temp,
+                                     slice_last=False)
+        pos = multi_choice_ce(*args, temp=cfg.multi_ce_temp,
+                              slice_last=False)
+        ent = multi_choice_ent(*args, temp=cfg.multi_ce_temp,
+                               slice_last=False)
+        total = cfg.coeff * pos + group + cfg.entcoeff * _zero_if_nan(ent)
+        return total, {"train_loss": total, "pos_loss": pos,
+                       "group_loss": group, "ent_loss": ent}
+    return fn
+
+
+def _exclusivece_loss(cfg):
+    def fn(logits, batch):
+        args = (logits, batch["target"], batch["spx"], batch["spmask"])
+        group = group_multi_label_ce(*args, nseg=cfg.nseg,
+                                     temp=cfg.group_ce_temp,
+                                     slice_last=False)
+        pos = exclusive_ce(*args)
+        total = cfg.coeff * pos + cfg.coeff_gm * group
+        return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
+                                     "group_loss": group}
+    return fn
+
+
+def _lossdecomp_variant(mc_fn):
+    def build(cfg):
+        def fn(logits, batch):
+            args = (logits, batch["target"], batch["spx"], batch["spmask"])
+            group = group_multi_label_ce(*args, nseg=cfg.nseg,
+                                         temp=cfg.group_ce_temp,
+                                         slice_last=False, only_multi=True)
+            ce, mc = mc_fn(*args, temp=cfg.multi_ce_temp)
+            total = cfg.coeff * ce + cfg.coeff_mc * mc + cfg.coeff_gm * group
+            return _zero_if_nan(total), {"train_loss": total, "ce_loss": ce,
+                                         "mc_loss": mc, "group_loss": group}
+        return fn
+    return build
+
+
+def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False):
+    """active_onlineplbl_multi_predignore family
+    (active_onlineplbl_multi_predignore.py:143-195): coeff * MC loss +
+    ramp(step/total) * LocalProtoCE on online pseudo labels from an
+    eval-mode feat_forward. Criteria of this family receive an `extra`
+    dict with 'feat', 'plbl_logits' and 'frac' (step/total_itrs)."""
+    from mulactseg_tpu.losses.online import local_proto_ce, local_proto_plbl
+
+    def fn(logits, batch, extra):
+        B = logits.shape[0]
+        C = logits.shape[-1]
+        feat = extra["feat"]
+        plbl_logits = extra["plbl_logits"]
+        probs = jax.nn.softmax(plbl_logits.astype(jnp.float32) /
+                               cfg.group_ce_temp, axis=-1)
+
+        def one(f, p, t, s, m):
+            return local_proto_plbl(
+                f.reshape(-1, f.shape[-1]), p.reshape(-1, C), t,
+                s.reshape(-1), m.reshape(-1), nseg=cfg.nseg)
+
+        plbl, sim = jax.vmap(one)(feat, probs, batch["target"], batch["spx"],
+                                  batch["spmask"])
+        plbl = jax.lax.stop_gradient(plbl.reshape(logits.shape[:-1]))
+        sim = jax.lax.stop_gradient(sim.reshape(logits.shape[:-1]))
+        proto = local_proto_ce(logits, plbl, temp=cfg.group_ce_temp,
+                               weights=sim if weighted else None)
+        frac = extra["frac"]
+        den = 1.0 + jnp.exp(-frac / cfg.lamparam)
+        lam = (2.0 / den - 1.0) * cfg.lamscale  # sigmoid_ramp_up
+        lam = jnp.where(jnp.logical_or(frac > 1.0,
+                                       not cfg.dorampup), 1.0, lam)
+        terms = {"local_proto_loss": proto}
+        total = lam * proto
+        if not only_plbl:
+            pos = multi_choice_ce(logits, batch["target"], batch["spx"],
+                                  batch["spmask"], temp=cfg.multi_ce_temp,
+                                  slice_last=False)
+            total = total + cfg.coeff * pos
+            terms["pos_loss"] = pos
+        if do_mc:
+            group = group_multi_label_ce(
+                logits, batch["target"], batch["spx"], batch["spmask"],
+                nseg=cfg.nseg, temp=cfg.group_ce_temp, slice_last=False,
+                only_multi=True)
+            total = total + cfg.coeff_gm * group
+            terms["group_loss"] = group
+        terms["train_loss"] = total
+        return _zero_if_nan(total), terms
+
+    fn.needs_feat = True
+    return fn
+
+
 CRITERIA: Dict[str, Callable] = {
     "active_joint_multi_predignore_lossdecomp": _lossdecomp_loss,
     "active_joint_multi_lossdecomp": _lossdecomp_loss,
@@ -95,6 +223,28 @@ CRITERIA: Dict[str, Callable] = {
     "active_joint_multi_predignore_mclossablation2": _mclossablation2_loss,
     "active_predignore": _ce_loss,
     "active": _ce_loss,
+    "active_slide": _ce_loss,
+    "active_onlineplbl_multi_predignore": _online_plbl_loss,
+    "active_onlinewplbl_multi_predignore": lambda cfg: _online_plbl_loss(
+        cfg, weighted=True),
+    "active_onlinesimwplbl_multi_predignore": lambda cfg: _online_plbl_loss(
+        cfg, weighted=True),
+    "active_onlinewplblonly_multi_predignore": lambda cfg: _online_plbl_loss(
+        cfg, weighted=True, only_plbl=True),
+    "active_onlineplbl_multi_predignore_domc": lambda cfg: _online_plbl_loss(
+        cfg, do_mc=True),
+    "active_onlinesimwplbl_multi_predignore_domc": lambda cfg:
+        _online_plbl_loss(cfg, weighted=True, do_mc=True),
+    "active_joint_multi_predignore_precise": lambda cfg: _precise_loss(
+        cfg, with_group=True),
+    "active_joint_multi_predignore_multice_precise": lambda cfg:
+        _precise_loss(cfg, with_group=False),
+    "active_joint_multi_predignore_multient": _multient_loss,
+    "active_joint_multi_predignore_exclusivece": _exclusivece_loss,
+    "active_joint_multi_lossdecomp_rc": _lossdecomp_variant(
+        onehot_ce_multihot_rc),
+    "active_joint_multi_lossdecomp_topone": _lossdecomp_variant(
+        onehot_ce_multihot_topone),
 }
 
 
@@ -108,18 +258,33 @@ def get_criterion(cfg):
 
 def make_train_step(model, cfg, donate: bool = True):
     criterion = get_criterion(cfg)
+    needs_feat = getattr(criterion, "needs_feat", False)
+    total_itrs = float(cfg.finetune_itrs)
 
-    def loss_fn(params, batch_stats, batch, rng):
+    def loss_fn(params, batch_stats, batch, rng, step_no):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], train=True, mutable=["batch_stats"],
             rngs={"dropout": rng})
-        total, aux = criterion(out, batch)
+        if needs_feat:
+            # eval-mode second forward for online pseudo labels
+            # (active_onlineplbl_multi_predignore.py:172-176)
+            feat, plbl_logits = model.apply(
+                {"params": jax.lax.stop_gradient(params),
+                 "batch_stats": batch_stats},
+                batch["images"], train=False, return_feat=True)
+            extra = {"feat": jax.lax.stop_gradient(feat),
+                     "plbl_logits": jax.lax.stop_gradient(plbl_logits),
+                     "frac": step_no.astype(jnp.float32) / total_itrs}
+            total, aux = criterion(out, batch, extra)
+        else:
+            total, aux = criterion(out, batch)
         return total, (aux, mutated["batch_stats"])
 
     def step(state, batch, rng):
         (_, (aux, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng, state.step)
         new_state = state.apply_gradients(grads, new_bs)
         return new_state, aux
 

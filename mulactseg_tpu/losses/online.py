@@ -1,0 +1,97 @@
+"""Online prototype pseudo-label losses (stage-1 online variants).
+
+LocalProtoCE (trainer/active_onlineplbl_multi_predignore.py:14-141): at
+every step an eval-mode feat_forward produces features; within each
+multi-hot superpixel, per-(spx, class) argmax pixels become prototypes,
+every valid pixel takes the class of its nearest (cosine) own-spx
+prototype, and a CE (temp, ignore 255) against these online pseudo
+labels is added with a ramped weight
+(active_onlineplbl_multi_predignore.py:179-182).
+
+The weighted variants (active_onlinewplbl_* / active_onlinesimwplbl_*)
+scale each pixel's CE by the detached similarity to its assigned
+prototype.
+
+Prototypes are compacted into NP static slots (jnp.nonzero with a static
+size) and similarities run as chunked (pixels x prototypes) matmuls on
+the MXU — the same structure as plbl/cosine_prop.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mulactseg_tpu.ops.segment import segment_max_grad
+
+EPS = 1e-8
+NEG = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("nseg", "max_protos", "chunk",
+                                             "ignore_value"))
+def local_proto_plbl(feats, probs, targets, spx, spmask, *, nseg,
+                     max_protos=256, chunk=65536, ignore_value=255):
+    """Per-image online pseudo labels + similarities.
+
+    feats (P, Ch) normalized; probs (P, C); targets (S, C); spx (P,);
+    spmask (P,). Returns (plbl (P,) int32 with ignore_value outside
+    multi-hot selected spxs, sim (P,) cosine similarity to the assigned
+    prototype, 0 where unassigned).
+    """
+    P, Ch = feats.shape
+    C = probs.shape[-1]
+    spx = spx.astype(jnp.int32)
+    is_multi = jnp.sum(targets, axis=-1) > 1  # (S,)
+    pix_multi = jnp.take(is_multi, jnp.clip(spx, 0, nseg - 1))
+    valid = spmask.astype(bool).reshape(-1) & pix_multi
+    sid = jnp.where(valid, spx, nseg)
+    _, argpix = segment_max_grad(probs.astype(jnp.float32), sid, nseg)
+
+    proto_exists = (targets > 0.5) & (argpix < P) & is_multi[:, None]
+    (flat_idx,) = jnp.nonzero(proto_exists.reshape(-1), size=max_protos,
+                              fill_value=nseg * C)
+    proto_sid = jnp.where(flat_idx < nseg * C, flat_idx // C, nseg)
+    proto_cls = (flat_idx % C).astype(jnp.int32)
+    src = jnp.take(argpix.reshape(-1), jnp.clip(flat_idx, 0, nseg * C - 1))
+    proto_ok = flat_idx < nseg * C
+    pf = jnp.take(feats.astype(jnp.float32), jnp.clip(src, 0, P - 1), axis=0)
+    pf = jnp.where(proto_ok[:, None], pf, 0.0)  # (NP, Ch)
+
+    pad = (-P) % chunk
+    feats_p = jnp.pad(feats.astype(jnp.float32), ((0, pad), (0, 0)))
+    spx_p = jnp.pad(spx, (0, pad), constant_values=0)
+
+    def body(carry, xs):
+        cf, cs = xs
+        sim = cf @ pf.T  # (T, NP) on the MXU
+        own = (proto_sid[None, :] == cs[:, None]) & proto_ok[None, :]
+        s_own = jnp.where(own, sim, NEG)
+        best = jnp.max(s_own, axis=-1)
+        j = jnp.argmax(s_own, axis=-1)
+        return carry, (jnp.take(proto_cls, j), best)
+
+    _, (cls, best) = jax.lax.scan(
+        body, 0, (feats_p.reshape(-1, chunk, Ch), spx_p.reshape(-1, chunk)))
+    cls = cls.reshape(-1)[:P]
+    best = best.reshape(-1)[:P]
+    has = valid & (best > NEG / 2)
+    plbl = jnp.where(has, cls, ignore_value).astype(jnp.int32)
+    return plbl, jnp.where(has, best, 0.0)
+
+
+def local_proto_ce(logits, plbl, *, temp=1.0, ignore_value=255, weights=None):
+    """CE between predictions and online pseudo labels; NaN (no valid
+    pixel) collapses to 0 like the reference's guard (:138-139)."""
+    lg = logits.astype(jnp.float32) / temp
+    valid = plbl != ignore_value
+    safe = jnp.where(valid, plbl, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if weights is not None:
+        nll = nll * jax.lax.stop_gradient(weights)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0))
+    n = jnp.sum(valid)
+    return jnp.where(n > 0, loss / jnp.maximum(n, 1), 0.0)

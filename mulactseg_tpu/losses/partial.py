@@ -151,6 +151,68 @@ def lossdecomp(logits, targets, spx, spmask, *, nseg, coeff=16.0, coeff_mc=8.0,
                    "train_loss": total}
 
 
+def exclusive_ce(logits, targets, spx, spmask):
+    """ExclusiveCE ablation
+    (trainer/active_joint_multi_predignore_exclusivece.py:20-78): for each
+    candidate class, a softmax whose denominator excludes the *other*
+    candidates; per-pixel mean over candidates. Raw logits (the reference
+    applies no temperature here)."""
+    B, H, W, C = logits.shape
+    lg = logits.astype(jnp.float32).reshape(B, H * W, C)
+    spxf = spx.reshape(B, H * W).astype(jnp.int32)
+    mask = spmask.reshape(B, H * W).astype(bool)
+    trg_pixel = _pixel_targets(targets.astype(jnp.float32), spxf)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    e = jnp.exp(lg)
+    neg_sum = jnp.sum(e * (1.0 - trg_pixel), axis=-1, keepdims=True)
+    denom = (neg_sum + e) * trg_pixel
+    es = (e * trg_pixel) / (denom + EPS)
+    ce = -jnp.log(es + EPS) * trg_pixel
+    pix = jnp.sum(ce, axis=-1) / jnp.maximum(jnp.sum(trg_pixel, axis=-1), 1.0)
+    loss = jnp.sum(jnp.where(valid, pix, 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def onehot_ce_multihot_topone(logits, targets, spx, spmask, *, temp=1.0):
+    """Lossdecomp with naive top-1 selection on multi-hot pixels
+    (trainer/active_joint_multi_lossdecomp_topone.py:14-70): the multi-hot
+    term uses -log(max candidate prob) instead of the merged sum."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    trg_pixel = _pixel_targets(trg, spx)
+    n_cand = jnp.sum(trg_pixel, axis=-1)
+    pos_sum = jnp.sum(probs * trg_pixel, axis=-1)
+    pos_max = jnp.max(probs * trg_pixel, axis=-1)
+    oh = mask & (n_cand == 1)
+    mh = mask & (n_cand > 1)
+    oh_loss = jnp.sum(jnp.where(oh, -jnp.log(pos_sum + EPS), 0.0)) / (
+        1.0 + jnp.sum(oh))
+    mh_loss = jnp.sum(jnp.where(mh, -jnp.log(pos_max + EPS), 0.0)) / (
+        1.0 + jnp.sum(mh))
+    return oh_loss, mh_loss
+
+
+def onehot_ce_multihot_rc(logits, targets, spx, spmask, *, temp=1.0):
+    """Lossdecomp with risk-consistent weighting on multi-hot pixels
+    (trainer/active_joint_multi_lossdecomp_rc.py): per-class NLLs weighted
+    by self-normalized detached candidate predictions."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    trg_pixel = _pixel_targets(trg, spx)
+    n_cand = jnp.sum(trg_pixel, axis=-1)
+    pos = probs * trg_pixel
+    pos_sum = jnp.sum(pos, axis=-1)
+    oh = mask & (n_cand == 1)
+    mh = mask & (n_cand > 1)
+    oh_loss = jnp.sum(jnp.where(oh, -jnp.log(pos_sum + EPS), 0.0)) / (
+        1.0 + jnp.sum(oh))
+    w = jax.lax.stop_gradient(pos)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), EPS)
+    per = jnp.sum(w * -jnp.log(pos + EPS), axis=-1)
+    mh_loss = jnp.sum(jnp.where(mh, per, 0.0)) / (1.0 + jnp.sum(mh))
+    return oh_loss, mh_loss
+
+
 def rc_multi_choice_ce(logits, targets, spx, spmask, *, temp=1.0,
                        slice_last=True):
     """Risk-consistent weighted candidate CE (utils/loss.py:653-707):
