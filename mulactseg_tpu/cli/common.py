@@ -43,7 +43,13 @@ def build_active_datasets(cfg):
         val = mk("val")
         return RegionActiveSet(cfg, pool, label), val
 
-    encode = encode_cityscapes if cfg.dataset == "cityscapes" else encode_identity
+    if cfg.label_encoding == "identity":
+        encode = encode_identity
+    elif cfg.label_encoding == "cityscapes":
+        encode = encode_cityscapes
+    else:
+        encode = (encode_cityscapes if cfg.dataset == "cityscapes"
+                  else encode_identity)
     train_tf = get_train_transform(cfg.train_transform, cfg, seed=cfg.seed)
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,

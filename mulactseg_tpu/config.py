@@ -50,6 +50,7 @@ class Config:
     mark_topk: int = -1
     train_transform: str = "rescale_769_multi_notrg"
     val_transform: str = "eval"
+    label_encoding: str = "auto"         # auto|identity|cityscapes
     crop_size: Tuple[int, int] = (768, 768)
 
     # --- training ----------------------------------------------------------
