@@ -16,7 +16,9 @@ from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
-_ARRAY_KEYS = ("images", "labels", "target", "spx", "spmask", "spx_small")
+_ARRAY_KEYS = ("images", "labels", "target", "spx", "spmask",
+               "spx_small", "images_weak", "spx_weak",
+               "spmask_weak", "spx_small_weak")
 
 
 def collate(samples: List[Dict]) -> Dict:

@@ -58,7 +58,9 @@ class SyntheticRegionDataset:
 
     def __init__(self, *, n_images=4, H=64, W=64, num_classes=5, nseg=16,
                  split="active-label", transform: Optional[PairedTransform] = None,
-                 seed=0, ignore_frac=0.05):
+                 seed=0, ignore_frac=0.05, small_nseg=None, async_views=False):
+        self.small_nseg = small_nseg
+        self.async_views = async_views
         self.nseg = nseg
         self.num_classes = num_classes
         self.split = split
@@ -69,6 +71,8 @@ class SyntheticRegionDataset:
         self.gts = []
         spx_map = grid_superpixels(H, W, nseg)
         self.spx_map = spx_map
+        self.spx_small_map = (grid_superpixels(H, W, small_nseg)
+                              if small_nseg else None)
         mh = []
         self.im_idx: List[List[str]] = []
         self.suppix: Dict[str, List[int]] = {}
@@ -126,7 +130,17 @@ class SyntheticRegionDataset:
             im, sp = normalize(img), spx
         selected = self.suppix.get(key[2], [])
         spmask = np.isin(sp, selected)
-        return {"images": im, "labels": gt.astype(np.int32),
-                "target": target.astype(np.float32),
-                "spx": sp.astype(np.int32), "spmask": spmask,
-                "fnames": key}
+        sample = {"images": im, "labels": gt.astype(np.int32),
+                  "target": target.astype(np.float32),
+                  "spx": sp.astype(np.int32), "spmask": spmask,
+                  "fnames": key}
+        if self.spx_small_map is not None:
+            sample["spx_small"] = self.spx_small_map.astype(np.int32)
+        if self.async_views:
+            # weak view: un-augmented copy (ignore_async loader analogue)
+            sample["images_weak"] = im
+            sample["spx_weak"] = sample["spx"]
+            sample["spmask_weak"] = spmask
+            if self.spx_small_map is not None:
+                sample["spx_small_weak"] = self.spx_small_map.astype(np.int32)
+        return sample

@@ -105,11 +105,21 @@ class ALTrainer:
                               num_workers=cfg.num_workers, seed=cfg.seed)
         t0 = time.time()
         n_img = 0
+        profiling = False
+        if cfg.profile:
+            import jax.profiler
+            os.makedirs(os.path.join(cfg.model_save_dir, "profile"),
+                        exist_ok=True)
+            jax.profiler.start_trace(os.path.join(cfg.model_save_dir,
+                                                  "profile"))
+            profiling = True
         for it in range(total_itrs):
             batch = next(loader)
             device_batch = {
                 k: jnp.asarray(batch[k])
-                for k in ("images", "target", "spx", "spmask", "labels")
+                for k in ("images", "target", "spx", "spmask", "labels",
+                          "spx_small", "images_weak", "spx_weak",
+                          "spmask_weak", "spx_small_weak")
                 if k in batch
             }
             self.rng, step_rng = jax.random.split(self.rng)
@@ -122,6 +132,9 @@ class ALTrainer:
             if self.val_dataset is not None and (it + 1) % val_period == 0:
                 self.validate(it)
         jax.block_until_ready(self.state.params)
+        if profiling:
+            import jax.profiler
+            jax.profiler.stop_trace()
         return n_img / (time.time() - t0)
 
     def validate(self, trainiter: int):

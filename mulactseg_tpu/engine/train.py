@@ -161,6 +161,42 @@ def _lossdecomp_variant(mc_fn):
     return build
 
 
+def _hier_joint_loss(cfg, async_views=False, weight_reduce=None):
+    """active_joint_hier_multi(_async)(_async_weight): hierarchy group
+    loss + MC loss (coeff * pos + coeff_gm * hier). Async variants expect
+    weak-view arrays in the batch (images_weak forwarded by the step when
+    present; spx_weak/spx_small_weak/spmask_weak from the loader)."""
+    from mulactseg_tpu.losses.hier import (
+        async_hier_group_multi_label_ce,
+        hier_group_multi_label_ce,
+    )
+
+    def fn(logits, batch, extra=None):
+        pos = multi_choice_ce(logits, batch["target"], batch["spx"],
+                              batch["spmask"], temp=cfg.multi_ce_temp)
+        if async_views:
+            hier = async_hier_group_multi_label_ce(
+                logits, batch["logits_weak"], batch["target"],
+                batch["spx_weak"], batch["spx_small"],
+                batch["spx_small_weak"], batch["spmask"],
+                batch["spmask_weak"], nseg=cfg.nseg,
+                small_nseg=cfg.small_nseg, temp=cfg.group_ce_temp,
+                weight_reduce=weight_reduce)
+        else:
+            hier = hier_group_multi_label_ce(
+                logits, batch["target"], batch["spx"], batch["spx_small"],
+                batch["spmask"], nseg=cfg.nseg, small_nseg=cfg.small_nseg,
+                temp=cfg.group_ce_temp, only_single=cfg.group_only_single,
+                gumbel_scale=cfg.gumbel_scale)
+        total = cfg.coeff * pos + cfg.coeff_gm * hier
+        return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
+                                     "group_loss": hier}
+
+    if async_views:
+        fn.needs_weak_forward = True
+    return fn
+
+
 def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False):
     """active_onlineplbl_multi_predignore family
     (active_onlineplbl_multi_predignore.py:143-195): coeff * MC loss +
@@ -245,6 +281,11 @@ CRITERIA: Dict[str, Callable] = {
         onehot_ce_multihot_rc),
     "active_joint_multi_lossdecomp_topone": _lossdecomp_variant(
         onehot_ce_multihot_topone),
+    "active_joint_hier_multi": lambda cfg: _hier_joint_loss(cfg),
+    "active_joint_hier_multi_async": lambda cfg: _hier_joint_loss(
+        cfg, async_views=True),
+    "active_joint_hier_multi_async_weight": lambda cfg: _hier_joint_loss(
+        cfg, async_views=True, weight_reduce="max"),
 }
 
 
@@ -259,6 +300,7 @@ def get_criterion(cfg):
 def make_train_step(model, cfg, donate: bool = True):
     criterion = get_criterion(cfg)
     needs_feat = getattr(criterion, "needs_feat", False)
+    needs_weak = getattr(criterion, "needs_weak_forward", False)
     total_itrs = float(cfg.finetune_itrs)
 
     def loss_fn(params, batch_stats, batch, rng, step_no):
@@ -266,6 +308,12 @@ def make_train_step(model, cfg, donate: bool = True):
             {"params": params, "batch_stats": batch_stats},
             batch["images"], train=True, mutable=["batch_stats"],
             rngs={"dropout": rng})
+        if needs_weak:
+            # weak-view eval-mode forward for the async hier criteria
+            batch = dict(batch)
+            batch["logits_weak"] = jax.lax.stop_gradient(model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["images_weak"], train=False))
         if needs_feat:
             # eval-mode second forward for online pseudo labels
             # (active_onlineplbl_multi_predignore.py:172-176)

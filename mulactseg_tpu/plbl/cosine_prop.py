@@ -89,11 +89,12 @@ def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
 
 
 @functools.partial(jax.jit, static_argnames=("nseg", "threshold_median",
-                                             "chunk", "ignore_value"))
+                                             "chunk", "ignore_value",
+                                             "propagate"))
 def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
                           proto_cls, proto_valid, proto_adj, *, nseg: int,
                           threshold_median: bool = True, chunk: int = 65536,
-                          ignore_value: int = 255):
+                          ignore_value: int = 255, propagate: bool = True):
     """Single-image pseudo-label map.
 
     feats (P, Ch) L2-normalized; probs (P, C) softmax; spx (P,) int;
@@ -163,8 +164,12 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
         lbl = proto_cls[j]
         return carry, jnp.where(has, lbl, ignore_value).astype(jnp.int32)
 
-    _, prop = jax.lax.scan(pass2, 0, (fcs, scs))
-    plbl = prop.reshape(-1)[:P]
+    if propagate:
+        _, prop = jax.lax.scan(pass2, 0, (fcs, scs))
+        plbl = prop.reshape(-1)[:P]
+    else:
+        # eval_save_cosplbl_withinspx variant: no neighborhood propagation
+        plbl = jnp.full((P,), ignore_value, jnp.int32)
     within = proto_cls[nn_proto]
     plbl = jnp.where(assigned, within, plbl)
     return plbl.astype(jnp.int32)

@@ -27,7 +27,8 @@ from mulactseg_tpu.plbl.simple import naive_argmax_plbl, within_multihot_plbl
 from mulactseg_tpu.utils.metrics import MeanIoU
 
 PLBL_TYPES = ("cosprop", "cosprop_includeonehot", "naive_argmax",
-              "within_multihot")
+              "within_multihot", "cos_withinspx",
+              "cos_withinspx_includeonehot")
 
 
 class PseudoLabelGenerator:
@@ -56,7 +57,8 @@ class PseudoLabelGenerator:
         spx path -> selected superpixel ids (the active set's labeled
         dict). Returns (miou, iou_table, precision_table, recall_table)."""
         cfg = self.cfg
-        include_onehot = self.plbl_type == "cosprop_includeonehot"
+        include_onehot = self.plbl_type.endswith("includeonehot")
+        propagate = self.plbl_type.startswith("cosprop")
         iou = MeanIoU(cfg.num_classes + 1, cfg.ignore_idx)
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
@@ -105,6 +107,7 @@ class PseudoLabelGenerator:
                     jnp.asarray(proto_valid), jnp.asarray(proto_adj),
                     nseg=cfg.nseg,
                     threshold_median=cfg.cosprop_threshold_method == "median",
+                    propagate=propagate,
                 ).reshape(H, W)
 
             plbl_np = np.asarray(plbl).astype(np.uint8)
