@@ -90,6 +90,11 @@ class Config:
     cls_weight_coeff: float = 8.0
     save_scores: bool = False
 
+    # --- sliding-window eval (utils/sliding_evaluator.py) --------------------
+    sliding_eval: bool = False
+    slide_crop: int = 800
+    slide_stride_rate: float = 0.6667
+
     # --- stage 2 / pseudo labels --------------------------------------------
     stage2: bool = False
     plbl_type: Optional[str] = None

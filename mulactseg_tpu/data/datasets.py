@@ -65,11 +65,18 @@ def encode_identity(target: np.ndarray) -> np.ndarray:
 
 
 def multi_hot_paths(cfg) -> Dict[str, str]:
-    """Reference path convention (region_cityscapes_or_tensor.py:27-34)."""
+    """Reference path conventions: cityscapes at
+    region_cityscapes_or_tensor.py:27-34, VOC at
+    region_voc_or_tensor.py:38-43 (superpixels/pascal_voc_seg tree)."""
     name = ("gtFine_multi_tensor_trim_{k}x{k}".format(k=cfg.trim_kernel_size)
             if cfg.trim_multihot_boundary else "gtFine_multi_tensor")
-    base = os.path.join(cfg.data_root, "superpixel_seed", cfg.dataset,
-                        f"{cfg.spx_method}_{cfg.nseg}", "train", name)
+    if cfg.dataset == "voc":
+        base = os.path.join(cfg.data_root, "superpixels", "pascal_voc_seg",
+                            f"{cfg.spx_method}_{cfg.nseg}", "train",
+                            name if cfg.trim_multihot_boundary else "multihot")
+    else:
+        base = os.path.join(cfg.data_root, "superpixel_seed", cfg.dataset,
+                            f"{cfg.spx_method}_{cfg.nseg}", "train", name)
     return {"multi_hot_cls": os.path.join(base, "multi_hot_cls.npy"),
             "sp_size": os.path.join(base, "sp_size.npy")}
 
@@ -82,7 +89,8 @@ class RegionDatasetOr:
                  transform: Optional[PairedTransform] = None,
                  encode_fn: Callable = encode_cityscapes,
                  multi_hot_cls: Optional[np.ndarray] = None,
-                 load_gt: bool = False):
+                 load_gt: bool = False,
+                 drop_last_channel: Optional[bool] = None):
         self.cfg = cfg
         self.split = split
         self.transform = transform
@@ -102,6 +110,12 @@ class RegionDatasetOr:
             self.multi_hot_cls = multi_hot_cls
         else:
             self.multi_hot_cls = np.load(multi_hot_paths(cfg)["multi_hot_cls"])
+        # VOC drops the trailing ignore channel so targets align with the
+        # 21-class model (region_voc_or_tensor.py:53)
+        if drop_last_channel is None:
+            drop_last_channel = cfg.dataset == "voc"
+        if drop_last_channel and multi_hot_cls is None:
+            self.multi_hot_cls = self.multi_hot_cls[:, :, :-1]
         self.isselected = np.zeros(self.multi_hot_cls.shape[:-1], np.float32)
         self.id_to_index = {}
         for index, line in enumerate(lines):

@@ -22,6 +22,15 @@ class Evaluator:
         self.model = model
         self.cfg = cfg
         self.step = make_eval_step(model)
+        self._sliding = None
+        if getattr(cfg, "sliding_eval", False):
+            from mulactseg_tpu.engine.sliding import SlidingEval
+
+            # sliding eval sums logits over the crop grid and evaluates
+            # the first num_classes channels (trainer/eval_slide.py:17-88)
+            self._sliding = SlidingEval(model, cfg.num_classes,
+                                        crop_size=cfg.slide_crop,
+                                        stride_rate=cfg.slide_stride_rate)
 
     def run(self, params, batch_stats, loader: Iterable, *,
             predignore: Optional[bool] = None):
@@ -31,10 +40,17 @@ class Evaluator:
         cfg = self.cfg
         if predignore is None:
             predignore = "predignore" in cfg.method
+        if self._sliding is not None:
+            predignore = False  # sliding path slices channels to C already
         iou = MeanIoU(cfg.num_classes, cfg.ignore_idx)
         ign = IoUIgnore(cfg.num_classes, cfg.ignore_idx) if predignore else None
         for batch in loader:
-            logits = self.step(params, batch_stats, jnp.asarray(batch["images"]))
+            if self._sliding is not None:
+                logits = self._sliding(params, batch_stats,
+                                       jnp.asarray(batch["images"]))
+            else:
+                logits = self.step(params, batch_stats,
+                                   jnp.asarray(batch["images"]))
             labels = jnp.asarray(batch["labels"])
             if predignore:
                 preds_real = jnp.argmax(logits[..., :-1], axis=-1)
