@@ -107,11 +107,10 @@ class ALTrainer:
         n_img = 0
         profiling = False
         if cfg.profile:
-            import jax.profiler
+            from jax import profiler as _profiler
             os.makedirs(os.path.join(cfg.model_save_dir, "profile"),
                         exist_ok=True)
-            jax.profiler.start_trace(os.path.join(cfg.model_save_dir,
-                                                  "profile"))
+            _profiler.start_trace(os.path.join(cfg.model_save_dir, "profile"))
             profiling = True
         for it in range(total_itrs):
             batch = next(loader)
@@ -133,8 +132,8 @@ class ALTrainer:
                 self.validate(it)
         jax.block_until_ready(self.state.params)
         if profiling:
-            import jax.profiler
-            jax.profiler.stop_trace()
+            from jax import profiler as _profiler
+            _profiler.stop_trace()
         return n_img / (time.time() - t0)
 
     def validate(self, trainiter: int):
