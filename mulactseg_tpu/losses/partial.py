@@ -65,7 +65,8 @@ def multi_choice_ce(logits, targets, spx, spmask, *, temp=1.0, slice_last=True):
 
 
 def group_multi_label_ce(logits, targets, spx, spmask, *, nseg, temp=1.0,
-                         slice_last=True, only_multi=False):
+                         slice_last=True, only_multi=False,
+                         pixel_multi_mask=None):
     """MIL group loss (L_gm): per present (superpixel, candidate-class)
     pair, -log of the max predicted prob inside the superpixel.
 
@@ -81,8 +82,13 @@ def group_multi_label_ce(logits, targets, spx, spmask, *, nseg, temp=1.0,
     """
     probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp, slice_last)
     if only_multi:
-        is_multi = jnp.sum(trg, axis=-1) > 1  # (B, S)
-        pix_multi = jnp.take_along_axis(is_multi, spx, axis=1)
+        if pixel_multi_mask is not None:
+            # caller already gathered per-pixel candidate counts (lossdecomp
+            # shares the MC term's gather; saves a latency-bound bool gather)
+            pix_multi = pixel_multi_mask.reshape(mask.shape)
+        else:
+            is_multi = jnp.sum(trg, axis=-1) > 1  # (B, S)
+            pix_multi = jnp.take_along_axis(is_multi, spx, axis=1)
         mask = mask & pix_multi
     sid = jnp.where(mask, spx, nseg)
 
@@ -101,14 +107,15 @@ def group_multi_label_ce(logits, targets, spx, spmask, *, nseg, temp=1.0,
     return loss / num_valid
 
 
-def onehot_ce_multihot_choice(logits, targets, spx, spmask, *, temp=1.0):
+def onehot_ce_multihot_choice(logits, targets, spx, spmask, *, temp=1.0,
+                              return_multi_mask=False):
     """Loss decomposition of the merged-positive CE
     (trainer/active_joint_multi_predignore_lossdecomp.py:16-72): pixels in
     one-hot superpixels give a plain CE term, pixels in multi-hot
     superpixels give the merged-positive term; separate normalizers.
     Targets are used with all C+1 channels (predignore).
 
-    Returns (oh_loss, mh_loss).
+    Returns (oh_loss, mh_loss[, per-pixel multi-hot mask]).
     """
     probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
                                      slice_last=False)
@@ -120,6 +127,8 @@ def onehot_ce_multihot_choice(logits, targets, spx, spmask, *, temp=1.0):
     mh = mask & (n_cand > 1)  # the reference asserts not-onehot == (>1)
     oh_loss = jnp.sum(jnp.where(oh, nll, 0.0)) / (1.0 + jnp.sum(oh))
     mh_loss = jnp.sum(jnp.where(mh, nll, 0.0)) / (1.0 + jnp.sum(mh))
+    if return_multi_mask:
+        return oh_loss, mh_loss, jax.lax.stop_gradient(n_cand > 1)
     return oh_loss, mh_loss
 
 
@@ -141,11 +150,13 @@ def lossdecomp(logits, targets, spx, spmask, *, nseg, coeff=16.0, coeff_mc=8.0,
     Returns (total, aux dict).
     """
     del ce_temp  # parity: reference passes multi_ce_temp to both CE and MC terms
+    ce, mc, pix_multi = onehot_ce_multihot_choice(
+        logits, targets, spx, spmask, temp=multi_ce_temp,
+        return_multi_mask=True)
     group = group_multi_label_ce(logits, targets, spx, spmask, nseg=nseg,
                                  temp=group_ce_temp, slice_last=False,
-                                 only_multi=True)
-    ce, mc = onehot_ce_multihot_choice(logits, targets, spx, spmask,
-                                       temp=multi_ce_temp)
+                                 only_multi=True,
+                                 pixel_multi_mask=pix_multi)
     total = coeff * ce + coeff_mc * mc + coeff_gm * group
     return total, {"ce_loss": ce, "mc_loss": mc, "group_loss": group,
                    "train_loss": total}

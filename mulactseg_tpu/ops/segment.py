@@ -61,8 +61,12 @@ def seg_context(sid: jax.Array, num_segments: int) -> SegContext:
     entries lie in [0, num_segments]; the value `num_segments` marks
     invalid pixels."""
     sid = sid.reshape(-1).astype(jnp.int32)
-    order = jnp.argsort(sid, stable=True)
-    sorted_sid = sid[order]
+    # one stable key-value sort yields both the sorted keys and the
+    # permutation; sid[order] as a separate gather costs ~10ms per batch
+    # at stage-1 shapes (latency-bound int gather)
+    iota = jnp.arange(sid.shape[0], dtype=jnp.int32)
+    sorted_sid, order = jax.lax.sort((sid, iota), dimension=0,
+                                     is_stable=True, num_keys=1)
     seg_ids = jnp.arange(num_segments, dtype=jnp.int32)
     ends = jnp.searchsorted(sorted_sid, seg_ids, side="right").astype(jnp.int32)
     # ids are integers >= 0, so left[s] == right[s-1]; one binary search pass
