@@ -34,8 +34,11 @@ from mulactseg_tpu.losses import (
 )
 from mulactseg_tpu.losses.partial import (
     exclusive_ce,
+    multi_choice_ce_only_dominant,
+    multi_choice_ce_scale,
     onehot_ce_multihot_rc,
     onehot_ce_multihot_topone,
+    weighted_group_multi_label_ce,
 )
 
 
@@ -161,6 +164,39 @@ def _lossdecomp_variant(mc_fn):
     return build
 
 
+def _pos_plus_group(cfg, pos_fn):
+    """coeff * <pos variant> + coeff_gm * full group (mclossablation /
+    lscale trainer shape)."""
+    def fn(logits, batch):
+        args = (logits, batch["target"], batch["spx"], batch["spmask"])
+        group = group_multi_label_ce(*args, nseg=cfg.nseg,
+                                     temp=cfg.group_ce_temp,
+                                     slice_last=False)
+        pos = pos_fn(*args, temp=cfg.multi_ce_temp)
+        total = cfg.coeff * pos + cfg.coeff_gm * group
+        return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
+                                     "group_loss": group}
+    return fn
+
+
+def _wgroup_loss(cfg):
+    """active_joint_multi_predignore_wgroup.py:84-122: MC loss + group
+    loss weighted by an eval-mode prediction's segment max (uses the
+    extra eval forward like the online-plbl family)."""
+    def fn(logits, batch, extra):
+        group = weighted_group_multi_label_ce(
+            logits, extra["plbl_logits"], batch["target"], batch["spx"],
+            batch["spmask"], nseg=cfg.nseg, temp=cfg.group_ce_temp)
+        pos = multi_choice_ce(logits, batch["target"], batch["spx"],
+                              batch["spmask"], temp=cfg.multi_ce_temp,
+                              slice_last=False)
+        total = cfg.coeff * pos + cfg.coeff_gm * group
+        return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
+                                     "group_loss": group}
+    fn.needs_feat = True
+    return fn
+
+
 def _hier_joint_loss(cfg, async_views=False, weight_reduce=None):
     """active_joint_hier_multi(_async)(_async_weight): hierarchy group
     loss + MC loss (coeff * pos + coeff_gm * hier). Async variants expect
@@ -281,6 +317,11 @@ CRITERIA: Dict[str, Callable] = {
         onehot_ce_multihot_rc),
     "active_joint_multi_lossdecomp_topone": _lossdecomp_variant(
         onehot_ce_multihot_topone),
+    "active_joint_multi_predignore_mclossablation": lambda cfg:
+        _pos_plus_group(cfg, multi_choice_ce_only_dominant),
+    "active_joint_multi_predignore_lscale": lambda cfg:
+        _pos_plus_group(cfg, multi_choice_ce_scale),
+    "active_joint_multi_predignore_wgroup": _wgroup_loss,
     "active_joint_hier_multi": lambda cfg: _hier_joint_loss(cfg),
     "active_joint_hier_multi_async": lambda cfg: _hier_joint_loss(
         cfg, async_views=True),

@@ -162,6 +162,67 @@ def lossdecomp(logits, targets, spx, spmask, *, nseg, coeff=16.0, coeff_mc=8.0,
                    "train_loss": total}
 
 
+def multi_choice_ce_scale(logits, targets, spx, spmask, *, temp=1.0):
+    """MultiChoiceCEScale (trainer/active_joint_multi_predignore_lscale.py):
+    MC loss with each pixel's NLL scaled by log(C+1)/log(C+2-nhot) — the
+    reference hardcodes the table log(20-k) for Cityscapes; we generate
+    it from the channel count."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    C = probs.shape[-1]
+    ks = jnp.arange(C, dtype=jnp.float32)
+    table = jnp.log(jnp.float32(C)) / jnp.log(jnp.maximum(C - ks, 2.0))
+    # table[nhot-1]; entry for nhot-1 == C-1 is log(C)/log(2) like the ref
+    trg_pixel = _pixel_targets(trg, spx)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    pos = jnp.sum(probs * trg_pixel, axis=-1)
+    nhot = jnp.sum(trg_pixel, axis=-1).astype(jnp.int32)
+    w = jnp.take(table, jnp.clip(nhot - 1, 0, C - 1))
+    nll = -w * jnp.log(pos + EPS)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def multi_choice_ce_only_dominant(logits, targets, spx, spmask, *, temp=1.0):
+    """MultiChoiceCE_onlyDom (active_joint_multi_predignore_mclossablation
+    .py:20-80): MC loss restricted to pixels of one-hot (dominant)
+    superpixels."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    trg_pixel = _pixel_targets(trg, spx)
+    n_cand = jnp.sum(trg_pixel, axis=-1)
+    valid = mask & (n_cand == 1)
+    pos = jnp.sum(probs * trg_pixel, axis=-1)
+    nll = -jnp.log(pos + EPS)
+    loss = jnp.sum(jnp.where(valid, nll, 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def weighted_group_multi_label_ce(logits, plbl_logits, targets, spx, spmask,
+                                  *, nseg, temp=1.0, only_single=False):
+    """WeightedGroupMultiLabelCE (active_joint_multi_predignore_wgroup
+    .py:12-83): group entries weighted by the detached segment-max of an
+    eval-mode prediction's softmax."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    plbl_probs, _, _, _ = _flatten(plbl_logits, targets, spx, spmask, temp,
+                                   slice_last=False)
+    row_ok = (jnp.sum(trg, axis=-1) > 1) if only_single else \
+        jnp.any(trg > 0, axis=-1)
+    sid = jnp.where(mask, spx, nseg)
+
+    def one(s, v, w):
+        mx, argpix = segment_max_grad(v, s, nseg)
+        wmx, _ = segment_max_grad(jax.lax.stop_gradient(w), s, nseg)
+        return mx, wmx, argpix[:, 0] < v.shape[0]
+
+    mx, wmx, present = jax.vmap(one)(sid, probs, plbl_probs)
+    entry = (trg > 0.5) & present[:, :, None] & row_ok[:, :, None]
+    nll = -jax.lax.stop_gradient(wmx) * jnp.log(mx + EPS)
+    loss = jnp.sum(jnp.where(entry, nll, 0.0))
+    return loss / (1.0 + jnp.sum(entry))
+
+
 def exclusive_ce(logits, targets, spx, spmask):
     """ExclusiveCE ablation
     (trainer/active_joint_multi_predignore_exclusivece.py:20-78): for each

@@ -20,6 +20,11 @@ def make_batch(C_model, rng):
         "spx": jnp.asarray(rng.randint(0, S, (B, H, W)), jnp.int32),
         "spmask": jnp.asarray(rng.rand(B, H, W) < 0.7),
         "labels": jnp.asarray(rng.randint(0, C_model, (B, H, W)), jnp.int32),
+        "spx_small": jnp.asarray(rng.randint(0, 2 * S, (B, H, W)), jnp.int32),
+        "spx_weak": jnp.asarray(rng.randint(0, S, (B, H, W)), jnp.int32),
+        "spmask_weak": jnp.asarray(rng.rand(B, H, W) < 0.7),
+        "spx_small_weak": jnp.asarray(rng.randint(0, 2 * S, (B, H, W)),
+                                      jnp.int32),
     }
     return batch
 
@@ -27,8 +32,8 @@ def make_batch(C_model, rng):
 @pytest.mark.parametrize("method", sorted(CRITERIA))
 def test_criterion_finite_loss_and_grad(method):
     rng = np.random.RandomState(hash(method) % 2**31)
-    cfg = Config(num_classes=4, nseg=S, method=method, finetune_itrs=10,
-                 loader="synthetic")
+    cfg = Config(num_classes=4, nseg=S, small_nseg=2 * S, method=method,
+                 finetune_itrs=10, loader="synthetic")
     crit = get_criterion(cfg)
     C_model = cfg.num_model_classes
     # non-predignore joint losses slice targets[..., :-1], so give C+1 chans
@@ -40,6 +45,10 @@ def test_criterion_finite_loss_and_grad(method):
     logits = jnp.asarray(rng.randn(B, H, W, C_model), jnp.float32)
 
     needs_feat = getattr(crit, "needs_feat", False)
+    needs_weak = getattr(crit, "needs_weak_forward", False)
+    if needs_weak:
+        batch["logits_weak"] = jnp.asarray(
+            rng.randn(B, H, W, C_model), jnp.float32)
 
     def loss(lg):
         if needs_feat:
