@@ -62,6 +62,7 @@ class ResNet(nn.Module):
     stem_width: int = 64
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, True)
     dtype: object = None
+    stage_planes: Tuple[int, int, int, int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,7 +85,7 @@ class ResNet(nn.Module):
 
         taps = {}
         dilation = 1
-        stage_planes = (64, 128, 256, 512)
+        stage_planes = self.stage_planes
         stage_strides = (1, 2, 2, 2)
         inplanes = (self.stem_width * 2) if self.deep_stem else 64
         for stage in range(4):
