@@ -20,7 +20,8 @@ TTA_SCALES = (0.5, 0.75, 1.0, 1.25, 1.5)
 def _resize(x, H, W):
     B = x.shape[0]
     C = x.shape[-1]
-    return jax.image.resize(x, (B, H, W, C), method="bilinear")
+    return jax.image.resize(x, (B, H, W, C), method="bilinear",
+                            antialias=False)
 
 
 def tta_feat_forward(model, params, batch_stats, images,

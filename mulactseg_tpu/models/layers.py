@@ -87,4 +87,7 @@ def resize_bilinear(x, size: Tuple[int, int]):
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
         return x
-    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear")
+    # antialias=False for torch F.interpolate parity (matters only when
+    # downsampling; tested in tests/test_backbone_parity.py)
+    return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear",
+                            antialias=False)

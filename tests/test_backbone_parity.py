@@ -136,6 +136,7 @@ def test_bilinear_resize_matches_torch_interpolate():
             xt, size=size, mode="bilinear", align_corners=False)
         want = want.permute(0, 2, 3, 1).numpy()
         got = jax.image.resize(jnp.asarray(x.numpy()),
-                               (1, size[0], size[1], 5), method="bilinear")
+                               (1, size[0], size[1], 5), method="bilinear",
+                               antialias=False)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
                                    atol=1e-5)
