@@ -69,21 +69,24 @@ class DeepLabHeadV3Plus(nn.Module):
     variant: str = "plain"
     separable: bool = False
     dtype: object = None
+    low_channels: int = 48       # low-level projection width (deeplabv3.py:39)
+    mid_channels: int = 256      # ASPP/classifier width (deeplabv3.py:47,219)
 
     @nn.compact
     def __call__(self, feats, train: bool = False, return_feat: bool = False):
         dt = self.dtype
-        low = ConvBNReLU(48, 1, init=kaiming_in, dtype=dt, name="project")(
-            feats["low_level"], train)
-        y = ASPP(self.aspp_dilate, separable=self.separable, dtype=dt,
+        low = ConvBNReLU(self.low_channels, 1, init=kaiming_in, dtype=dt,
+                         name="project")(feats["low_level"], train)
+        y = ASPP(self.aspp_dilate, out_channels=self.mid_channels,
+                 separable=self.separable, dtype=dt,
                  name="aspp")(feats["out"], train)
         y = resize_bilinear(y, low.shape[1:3])
         y = jnp.concatenate([low, y], axis=-1)
-        y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
-                       dtype=dt, name="cls0")(y, train)
+        y = ConvBNReLU(self.mid_channels, 3, separable=self.separable,
+                       init=kaiming_in, dtype=dt, name="cls0")(y, train)
         if self.variant in ("c1", "wn"):
-            y = ConvBNReLU(256, 3, separable=self.separable, init=kaiming_in,
-                           dtype=dt, name="cls1")(y, train)
+            y = ConvBNReLU(self.mid_channels, 3, separable=self.separable,
+                           init=kaiming_in, dtype=dt, name="cls1")(y, train)
         if self.variant == "wn":
             # cosine-similarity logits (deeplabv3.py:97-100); normalization
             # and the proxy matmul run in f32 for numerical stability.
