@@ -77,6 +77,7 @@ class Config:
     group_only_single: bool = False
     gumbel_scale: float = -1.0
     entcoeff: float = 1.0       # multient trainer entropy weight
+    simw_temp: float = 1.0      # pwce similarity softmax temperature
     lamparam: float = 0.1       # online-plbl ramp damping (utils/scheduler.py:15-28)
     lamscale: float = 1.0
     dorampup: bool = True

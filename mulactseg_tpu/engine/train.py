@@ -179,6 +179,38 @@ def _pos_plus_group(cfg, pos_fn):
     return fn
 
 
+def _pwce_loss(cfg):
+    """active_pwce_multi_predignore.py:157-201: a single
+    prototype-weighted CE — candidate-class weights from an eval-mode
+    feat_forward's within-spx prototype similarities."""
+    from mulactseg_tpu.losses.online import (
+        prototype_weight_targets,
+        prototype_weighted_ce,
+    )
+
+    def fn(logits, batch, extra):
+        C = logits.shape[-1]
+        feat = extra["feat"]
+        plbl_logits = extra["plbl_logits"]
+        probs = jax.nn.softmax(plbl_logits.astype(jnp.float32) /
+                               cfg.group_ce_temp, axis=-1)
+
+        def one(f, p, t, s, m):
+            return prototype_weight_targets(
+                f.reshape(-1, f.shape[-1]), p.reshape(-1, C), t,
+                s.reshape(-1), m.reshape(-1), nseg=cfg.nseg,
+                simw_temp=cfg.simw_temp)
+
+        w = jax.vmap(one)(feat, probs, batch["target"], batch["spx"],
+                          batch["spmask"])
+        total = prototype_weighted_ce(logits, w, batch["spmask"],
+                                      temp=cfg.group_ce_temp)
+        return _zero_if_nan(total), {"train_loss": total}
+
+    fn.needs_feat = True
+    return fn
+
+
 def _wgroup_loss(cfg):
     """active_joint_multi_predignore_wgroup.py:84-122: MC loss + group
     loss weighted by an eval-mode prediction's segment max (uses the
@@ -317,6 +349,7 @@ CRITERIA: Dict[str, Callable] = {
         onehot_ce_multihot_rc),
     "active_joint_multi_lossdecomp_topone": _lossdecomp_variant(
         onehot_ce_multihot_topone),
+    "active_pwce_multi_predignore": lambda cfg: _pwce_loss(cfg),
     "active_joint_multi_predignore_mclossablation": lambda cfg:
         _pos_plus_group(cfg, multi_choice_ce_only_dominant),
     "active_joint_multi_predignore_lscale": lambda cfg:

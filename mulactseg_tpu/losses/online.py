@@ -82,6 +82,78 @@ def local_proto_plbl(feats, probs, targets, spx, spmask, *, nseg,
     return plbl, jnp.where(has, best, 0.0)
 
 
+@functools.partial(jax.jit, static_argnames=("nseg", "max_protos", "chunk"))
+def prototype_weight_targets(feats, probs_plbl, targets, spx, spmask, *,
+                             nseg, simw_temp=1.0, max_protos=256,
+                             chunk=65536):
+    """JointLocalProtoWeightingCE weight construction
+    (trainer/active_pwce_multi_predignore.py:30-146): for pixels of
+    multi-hot superpixels, each candidate class's target entry is replaced
+    by the softmax (over the superpixel's prototypes, temperature
+    simw_temp) of the pixel's cosine similarity to that class's prototype;
+    one-hot rows keep weight 1. Returns (P, C) float weights (zero rows
+    for invalid pixels are handled by the caller's spmask)."""
+    P, Ch = feats.shape
+    C = probs_plbl.shape[-1]
+    spx = spx.astype(jnp.int32)
+    spmask = spmask.astype(bool).reshape(-1)
+    trg_pixel = jnp.take(targets.astype(jnp.float32),
+                         jnp.clip(spx, 0, nseg - 1), axis=0)  # (P, C)
+    is_multi_row = jnp.sum(targets, axis=-1) > 1
+    pix_multi = jnp.take(is_multi_row, jnp.clip(spx, 0, nseg - 1))
+    valid = spmask & pix_multi
+    sid = jnp.where(valid, spx, nseg)
+    _, argpix = segment_max_grad(probs_plbl.astype(jnp.float32), sid, nseg)
+
+    proto_exists = (targets > 0.5) & (argpix < P) & is_multi_row[:, None]
+    (flat_idx,) = jnp.nonzero(proto_exists.reshape(-1), size=max_protos,
+                              fill_value=nseg * C)
+    proto_sid = jnp.where(flat_idx < nseg * C, flat_idx // C, nseg)
+    proto_cls = (flat_idx % C).astype(jnp.int32)
+    src = jnp.take(argpix.reshape(-1), jnp.clip(flat_idx, 0, nseg * C - 1))
+    proto_ok = flat_idx < nseg * C
+    pf = jnp.take(feats.astype(jnp.float32), jnp.clip(src, 0, P - 1), axis=0)
+    pf = jnp.where(proto_ok[:, None], pf, 0.0)
+
+    pad = (-P) % chunk
+    feats_p = jnp.pad(feats.astype(jnp.float32), ((0, pad), (0, 0)))
+    spx_p = jnp.pad(spx, (0, pad), constant_values=0)
+    oh_cls = jax.nn.one_hot(proto_cls, C, dtype=jnp.float32)  # (NP, C)
+
+    def body(carry, xs):
+        cf, cs = xs
+        sim = cf @ pf.T  # (T, NP)
+        own = (proto_sid[None, :] == cs[:, None]) & proto_ok[None, :]
+        s = jnp.where(own, sim / simw_temp, NEG)
+        w = jax.nn.softmax(s, axis=-1)
+        w = jnp.where(own, w, 0.0)
+        # distribute prototype weights onto their classes
+        return carry, w @ oh_cls  # (T, C)
+
+    _, wcls = jax.lax.scan(
+        body, 0, (feats_p.reshape(-1, chunk, Ch), spx_p.reshape(-1, chunk)))
+    wcls = wcls.reshape(-1, C)[:P]
+    weights = jnp.where(valid[:, None], wcls * trg_pixel, trg_pixel)
+    return jax.lax.stop_gradient(weights)
+
+
+def prototype_weighted_ce(logits, weights, spmask, *, temp=1.0):
+    """The pwce loss body (active_pwce_multi_predignore.py:141-155):
+    sum over spmask pixels of sum_c w_{p,c} * -log softmax_c, normalized
+    by 1 + #valid pixels; returns 0 when no pixel contributes."""
+    B = logits.shape[0]
+    C = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+    probs = probs.reshape(-1, C)
+    m = spmask.reshape(-1).astype(bool)
+    nll = -jnp.log(probs + EPS)
+    per_pix = jnp.sum(weights.reshape(-1, C) * nll, axis=-1)
+    loss = jnp.sum(jnp.where(m, per_pix, 0.0))
+    num = 1.0 + jnp.sum(m)
+    out = loss / num
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
 def local_proto_ce(logits, plbl, *, temp=1.0, ignore_value=255, weights=None):
     """CE between predictions and online pseudo labels; NaN (no valid
     pixel) collapses to 0 like the reference's guard (:138-139)."""
