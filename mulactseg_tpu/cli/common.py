@@ -50,10 +50,14 @@ def build_active_datasets(cfg):
     else:
         encode = (encode_cityscapes if cfg.dataset == "cityscapes"
                   else encode_identity)
-    train_tf = get_train_transform(cfg.train_transform, cfg, seed=cfg.seed)
+    tf_name = cfg.train_transform
+    if "ignore" in cfg.loader and "ignore" not in tf_name:
+        tf_name = tf_name.replace("_multi_", "_multi_ignore_")
+    train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
-                            encode_fn=encode)
+                            encode_fn=encode,
+                            ignore_gt_in_spmask="ignore" in cfg.loader)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,

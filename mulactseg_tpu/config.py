@@ -78,6 +78,8 @@ class Config:
     gumbel_scale: float = -1.0
     entcoeff: float = 1.0       # multient trainer entropy weight
     simw_temp: float = 1.0      # pwce similarity softmax temperature
+    within_filtering: bool = False  # top1plbl candidate renormalization
+    plbl_th: float = 0.0        # top1plbl confidence threshold
     lamparam: float = 0.1       # online-plbl ramp damping (utils/scheduler.py:15-28)
     lamscale: float = 1.0
     dorampup: bool = True

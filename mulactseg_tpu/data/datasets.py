@@ -90,12 +90,16 @@ class RegionDatasetOr:
                  encode_fn: Callable = encode_cityscapes,
                  multi_hot_cls: Optional[np.ndarray] = None,
                  load_gt: bool = False,
-                 drop_last_channel: Optional[bool] = None):
+                 drop_last_channel: Optional[bool] = None,
+                 ignore_gt_in_spmask: bool = False):
         self.cfg = cfg
         self.split = split
         self.transform = transform
         self.encode_fn = encode_fn
-        self.load_gt = load_gt
+        # the _ignore loader variant removes GT==255 pixels from spmask
+        # (region_cityscapes_or_tensor_ignore.py:49-51)
+        self.ignore_gt_in_spmask = ignore_gt_in_spmask
+        self.load_gt = load_gt or ignore_gt_in_spmask
         region = load_region_dict(region_dict)
         self.im_idx: List[List[str]] = []
         self.suppix: Dict[str, List[int]] = {}
@@ -154,6 +158,8 @@ class RegionDatasetOr:
         spx = labels[-1].astype(np.int32)
         selected = self.suppix.get(spx_p, [])
         spmask = np.isin(spx, selected)
+        if self.ignore_gt_in_spmask:
+            spmask &= labels[0] != self.cfg.ignore_idx
         sample = {"images": image, "target": target, "spx": spx,
                   "spmask": spmask, "fnames": self.im_idx[index]}
         if self.load_gt:

@@ -114,6 +114,13 @@ def get_train_transform(name: str, cfg, seed: int = 0) -> PairedTransform:
         # train: image + [spx]; pad spx with nseg
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.nseg], hflip=True, seed=seed)
+    if name in ("rescale_769_multi_ignore_notrg",
+                "rescale_513_multi_ignore_notrg"):
+        # _ignore loaders: image + [GT, spx]; per-label pad values
+        # (dataloader/transform.py:62 pattern)
+        return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
+                               pad_values=[cfg.ignore_idx, cfg.nseg],
+                               hflip=True, seed=seed)
     if name in ("rescale_769_nospx", "rescale_513_notrg"):
         # stage-2: image + [plbl GT]; pad with ignore
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,

@@ -34,6 +34,7 @@ from mulactseg_tpu.losses import (
 )
 from mulactseg_tpu.losses.partial import (
     exclusive_ce,
+    top_one_plbl_loss,
     multi_choice_ce_only_dominant,
     multi_choice_ce_scale,
     onehot_ce_multihot_rc,
@@ -176,6 +177,31 @@ def _pos_plus_group(cfg, pos_fn):
         total = cfg.coeff * pos + cfg.coeff_gm * group
         return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
                                      "group_loss": group}
+    return fn
+
+
+def _top1plbl_loss(cfg):
+    """coeff*MC + group + ramp*TopOnePlbl
+    (active_joint_multi_predignore_top1plbl.py:94-127)."""
+    def fn(logits, batch, extra):
+        args = (logits, batch["target"], batch["spx"], batch["spmask"])
+        group = group_multi_label_ce(*args, nseg=cfg.nseg,
+                                     temp=cfg.group_ce_temp,
+                                     slice_last=False)
+        pos = multi_choice_ce(*args, temp=cfg.multi_ce_temp,
+                              slice_last=False)
+        top1 = top_one_plbl_loss(
+            logits, extra["plbl_logits"], batch["target"], batch["spx"],
+            batch["spmask"], temp=1.0, within_filtering=cfg.within_filtering,
+            threshold=cfg.plbl_th)
+        frac = extra["frac"]
+        den = 1.0 + jnp.exp(-frac / cfg.lamparam)
+        lam = (2.0 / den - 1.0) * cfg.lamscale
+        lam = jnp.where(jnp.logical_or(frac > 1.0, not cfg.dorampup), 1.0, lam)
+        total = cfg.coeff * pos + group + lam * top1
+        return _zero_if_nan(total), {"train_loss": total, "pos_loss": pos,
+                                     "group_loss": group, "top1_loss": top1}
+    fn.needs_feat = True
     return fn
 
 
@@ -350,6 +376,7 @@ CRITERIA: Dict[str, Callable] = {
     "active_joint_multi_lossdecomp_topone": _lossdecomp_variant(
         onehot_ce_multihot_topone),
     "active_pwce_multi_predignore": lambda cfg: _pwce_loss(cfg),
+    "active_joint_multi_predignore_top1plbl": lambda cfg: _top1plbl_loss(cfg),
     "active_joint_multi_predignore_mclossablation": lambda cfg:
         _pos_plus_group(cfg, multi_choice_ce_only_dominant),
     "active_joint_multi_predignore_lscale": lambda cfg:

@@ -223,6 +223,31 @@ def weighted_group_multi_label_ce(logits, plbl_logits, targets, spx, spmask,
     return loss / (1.0 + jnp.sum(entry))
 
 
+def top_one_plbl_loss(logits, plbl_logits, targets, spx, spmask, *,
+                      temp=1.0, within_filtering=False, threshold=0.0):
+    """TopOnePlbl (trainer/active_joint_multi_predignore_top1plbl.py:13-82):
+    on multi-candidate pixels whose eval-view top-1 candidate confidence
+    (optionally renormalized within candidates) passes the threshold,
+    -log of the train view's top candidate probability."""
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last=False)
+    plbl_probs, _, _, _ = _flatten(jax.lax.stop_gradient(plbl_logits),
+                                   targets, spx, spmask, temp,
+                                   slice_last=False)
+    trg_pixel = _pixel_targets(trg, spx)
+    multi = mask & (jnp.sum(trg_pixel, axis=-1) > 1)
+    pos = probs * trg_pixel
+    pos_plbl = plbl_probs * trg_pixel
+    if within_filtering:
+        pos_plbl = pos_plbl / jnp.maximum(
+            jnp.sum(pos_plbl, axis=-1, keepdims=True), EPS)
+    conf = jnp.max(pos_plbl, axis=-1)
+    keep = multi & (conf > threshold)
+    top = jnp.max(pos, axis=-1)
+    loss = jnp.sum(jnp.where(keep, -jnp.log(top + EPS), 0.0))
+    return loss / (1.0 + jnp.sum(keep))
+
+
 def exclusive_ce(logits, targets, spx, spmask):
     """ExclusiveCE ablation
     (trainer/active_joint_multi_predignore_exclusivece.py:20-78): for each
