@@ -111,6 +111,7 @@ class Config:
     datalist_path: str = ""
 
     # --- system ---------------------------------------------------------------
+    steps_per_dispatch: int = 1   # >1: device-side lax.scan over K steps
     seed: int = 0
     dtype: str = "bfloat16"              # compute dtype for conv stack
     profile: bool = False

@@ -55,6 +55,12 @@ class ALTrainer:
             self.model, cfg, init_rng,
             (cfg.train_batch_size, h, w, 3), total_itrs=cfg.finetune_itrs)
         self.train_step = make_train_step(self.model, cfg)
+        self._scan_step = None
+        if cfg.steps_per_dispatch > 1:
+            from mulactseg_tpu.engine.train import make_train_step_scan
+
+            self._scan_step = make_train_step_scan(
+                self.model, cfg, cfg.steps_per_dispatch)
         self.eval_step = make_eval_step(self.model)
         self.evaluator = Evaluator(self.model, cfg)
         self.val_dataset = val_dataset
@@ -112,24 +118,41 @@ class ALTrainer:
                         exist_ok=True)
             _profiler.start_trace(os.path.join(cfg.model_save_dir, "profile"))
             profiling = True
-        for it in range(total_itrs):
-            batch = next(loader)
-            device_batch = {
-                k: jnp.asarray(batch[k])
-                for k in ("images", "target", "spx", "spmask", "labels",
-                          "spx_small", "images_weak", "spx_weak",
-                          "spmask_weak", "spx_small_weak")
-                if k in batch
-            }
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, aux = self.train_step(self.state, device_batch, step_rng)
-            n_img += cfg.train_batch_size
-            if metrics_cb is not None and (it + 1) % log_every == 0:
+        keys = ("images", "target", "spx", "spmask", "labels", "spx_small",
+                "images_weak", "spx_weak", "spmask_weak", "spx_small_weak")
+        K = max(1, cfg.steps_per_dispatch)
+        it = 0
+        while it < total_itrs:
+            if self._scan_step is not None and it + K <= total_itrs and \
+                    (self.val_dataset is None or
+                     (it % val_period) + K <= val_period):
+                # device-side K-step dispatch: the per-call round trip
+                # (~75ms on the tunnel) amortizes across K optimizer steps
+                batches = [next(loader) for _ in range(K)]
+                super_batch = {
+                    k: jnp.asarray(np.stack([b[k] for b in batches]))
+                    for k in keys if k in batches[0]
+                }
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, auxs = self._scan_step(self.state, super_batch,
+                                                   step_rng)
+                aux = {k: v[-1] for k, v in auxs.items()}
+                it += K
+            else:
+                batch = next(loader)
+                device_batch = {k: jnp.asarray(batch[k])
+                                for k in keys if k in batch}
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, aux = self.train_step(self.state, device_batch,
+                                                  step_rng)
+                it += 1
+            n_img = it * cfg.train_batch_size
+            if metrics_cb is not None and it % log_every < K:
                 aux_host = {k: float(v) for k, v in aux.items()}
                 aux_host["images_per_sec"] = n_img / (time.time() - t0)
-                metrics_cb(it, aux_host)
-            if self.val_dataset is not None and (it + 1) % val_period == 0:
-                self.validate(it)
+                metrics_cb(it - 1, aux_host)
+            if self.val_dataset is not None and it % val_period == 0:
+                self.validate(it - 1)
         jax.block_until_ready(self.state.params)
         if profiling:
             from jax import profiler as _profiler

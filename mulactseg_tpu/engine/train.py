@@ -398,8 +398,7 @@ def get_criterion(cfg):
     return CRITERIA[cfg.method](cfg)
 
 
-def make_train_step(model, cfg, donate: bool = True):
-    criterion = get_criterion(cfg)
+def _build_loss_fn(model, cfg, criterion):
     needs_feat = getattr(criterion, "needs_feat", False)
     needs_weak = getattr(criterion, "needs_weak_forward", False)
     total_itrs = float(cfg.finetune_itrs)
@@ -430,6 +429,12 @@ def make_train_step(model, cfg, donate: bool = True):
             total, aux = criterion(out, batch)
         return total, (aux, mutated["batch_stats"])
 
+    return loss_fn
+
+
+def make_train_step(model, cfg, donate: bool = True):
+    loss_fn = _build_loss_fn(model, cfg, get_criterion(cfg))
+
     def step(state, batch, rng):
         (_, (aux, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
@@ -451,20 +456,13 @@ def make_train_step_scan(model, cfg, steps_per_dispatch: int,
     super-batch with a leading K dimension and gets back the state after
     K optimizer updates plus the per-step loss trace.
     """
-    criterion = get_criterion(cfg)
-
-    def loss_fn(params, batch_stats, batch, rng):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["images"], train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng})
-        total, aux = criterion(out, batch)
-        return total, (aux, mutated["batch_stats"])
+    loss_fn = _build_loss_fn(model, cfg, get_criterion(cfg))
 
     def one_step(state, xs):
         batch, rng = xs
         (_, (aux, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch,
+                                   rng, state.step)
         return state.apply_gradients(grads, new_bs), aux
 
     def run(state, super_batch, rng):
