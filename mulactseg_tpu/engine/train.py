@@ -8,12 +8,11 @@ label loss, backward, AdamW+poly update — no per-image Python loops, no
 host sync. NaN guards mirror trainer/active_joint_multi.py:17-29
 (zero_if_nan per component).
 
-Method coverage (SURVEY.md section 2e):
-  active_joint_multi_predignore_lossdecomp — shipped Cityscapes stage-1
-  active_joint_multi_lossdecomp            — shipped VOC stage-1
-  active_joint_multi(_predignore)          — joint group+MC trainers
-  active_joint_multi_predignore_mclossablation2 — group(onlymulti)+dom CE
-  active_predignore / active               — stage-2 / plain CE trainers
+Method coverage (SURVEY.md section 2e): 29 trainer methods — the shipped
+stage-1 trainers (cityscapes/VOC lossdecomp), joint group+MC, the
+mclossablation/lscale/wgroup/exclusivece/multient/precise ablations,
+lossdecomp rc/topone, the hier/async family, the online-plbl family,
+pwce, top1plbl, and the plain-CE stage-2/slide trainers. See CRITERIA.
 """
 
 from __future__ import annotations
