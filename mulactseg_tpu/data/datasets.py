@@ -91,7 +91,18 @@ class RegionDatasetOr:
                  multi_hot_cls: Optional[np.ndarray] = None,
                  load_gt: bool = False,
                  drop_last_channel: Optional[bool] = None,
-                 ignore_gt_in_spmask: bool = False):
+                 ignore_gt_in_spmask: bool = False,
+                 load_smaller_spx: bool = False,
+                 async_views: bool = False,
+                 weak_size: Optional[tuple] = None):
+        # load_smaller_spx: also load the finer superpixel map by path
+        # substitution seeds_{nseg} -> seeds_{small_nseg}
+        # (region_cityscapes_or_tensor.py:76-80); async_views: add an
+        # unaugmented full-view 'weak' copy resized to weak_size
+        # (region_cityscapes_or_tensor_ignore_async.py:17-66)
+        self.load_smaller_spx = load_smaller_spx
+        self.async_views = async_views
+        self.weak_size = weak_size
         self.cfg = cfg
         self.split = split
         self.transform = transform
@@ -147,23 +158,56 @@ class RegionDatasetOr:
             return {"images": image, "spx": spx.astype(np.int32),
                     "target": target, "fnames": self.im_idx[index]}
 
-        labels = [spx]
+        spx_small = None
+        if self.load_smaller_spx:
+            small_p = spx_p.replace(f"seeds_{self.cfg.nseg}",
+                                    f"seeds_{self.cfg.small_nseg}")
+            spx_small = open_spx(small_p)
+        gt = None
         if self.load_gt:
             gt = self.encode_fn(np.asarray(Image.open(lbl_p)))
-            labels = [gt, spx]
+        raw = {"image": image, "gt": gt, "spx": spx, "spx_small": spx_small}
+
+        labels = ([gt] if gt is not None else []) + [spx] +             ([spx_small] if spx_small is not None else [])
         if self.transform is not None:
             image, labels = self.transform(image, labels)
         else:
             image = normalize(image)
-        spx = labels[-1].astype(np.int32)
+        idx = 0
+        if gt is not None:
+            gt_t = labels[idx].astype(np.int32)
+            idx += 1
+        spx = labels[idx].astype(np.int32)
+        idx += 1
         selected = self.suppix.get(spx_p, [])
         spmask = np.isin(spx, selected)
         if self.ignore_gt_in_spmask:
-            spmask &= labels[0] != self.cfg.ignore_idx
+            spmask &= gt_t != self.cfg.ignore_idx
         sample = {"images": image, "target": target, "spx": spx,
                   "spmask": spmask, "fnames": self.im_idx[index]}
-        if self.load_gt:
-            sample["labels"] = labels[0].astype(np.int32)
+        if spx_small is not None:
+            sample["spx_small"] = labels[idx].astype(np.int32)
+        if gt is not None:
+            sample["labels"] = gt_t
+        if self.async_views:
+            weak_tf = PairedTransform(resize_to=self.weak_size)
+            wl = ([raw["gt"]] if raw["gt"] is not None else []) +                 [raw["spx"]] +                 ([raw["spx_small"]] if raw["spx_small"] is not None else [])
+            img_w, wl = weak_tf(raw["image"], wl)
+            j = 0
+            gt_w = None
+            if raw["gt"] is not None:
+                gt_w = wl[j].astype(np.int32)
+                j += 1
+            spx_w = wl[j].astype(np.int32)
+            j += 1
+            spmask_w = np.isin(spx_w, selected)
+            if self.ignore_gt_in_spmask and gt_w is not None:
+                spmask_w &= gt_w != self.cfg.ignore_idx
+            sample["images_weak"] = img_w
+            sample["spx_weak"] = spx_w
+            sample["spmask_weak"] = spmask_w
+            if raw["spx_small"] is not None:
+                sample["spx_small_weak"] = wl[j].astype(np.int32)
         return sample
 
 

@@ -162,3 +162,47 @@ def test_dominant_label():
     dom = dominant_label_for_image(gt, spx, 4, 3)
     assert (dom[spx == 1] == 2).all()
     assert (dom[spx == 0] == 0).all()
+
+
+def test_async_and_small_spx_disk_loader(disk_fixture, tmp_path):
+    """The _ignore_async loader contract: weak (unaugmented, resized) view
+    with its own spmask, plus the finer superpixel map by path
+    substitution (region_cityscapes_or_tensor_ignore_async.py:17-71)."""
+    import pickle
+    from mulactseg_tpu.data.synthetic import grid_superpixels
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    # write the finer superpixel files the seeds-path substitution expects
+    import dataclasses
+    cfg = dataclasses.replace(cfg, small_nseg=36)
+    small_map = grid_superpixels(24, 24, 36)
+    for i in range(2):
+        src = root / f"spx_{i}.pkl" if i == 0 else root / f"spx_{i}.png"
+    # loader substitutes seeds_{nseg} in the path; our fixture paths lack
+    # that token, so place files under names that contain it
+    rows = []
+    for i in range(2):
+        with open(root / f"seeds_{S}_spx_{i}.pkl", "wb") as f:
+            pickle.dump({"labels": spx_map}, f)
+        with open(root / f"seeds_36_spx_{i}.pkl", "wb") as f:
+            pickle.dump({"labels": small_map}, f)
+        rows.append(f"img_{i}.png\tlbl_{i}.png\tseeds_{S}_spx_{i}.pkl")
+    dl = root / "train_async.txt"
+    dl.write_text("\n".join(rows))
+    import json as _json
+    (root / "train_async.dict").write_text(_json.dumps(
+        {f"seeds_{S}_spx_{i}.pkl": [S, []] for i in range(2)}))
+
+    from mulactseg_tpu.data import RegionDatasetOr, encode_identity
+    ds = RegionDatasetOr(cfg, str(dl), str(root / "train_async.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh, ignore_gt_in_spmask=True,
+                         load_smaller_spx=True, async_views=True,
+                         weak_size=(24, 24))
+    s = ds[0]
+    for k in ("images_weak", "spx_weak", "spmask_weak", "spx_small",
+              "spx_small_weak", "labels"):
+        assert k in s, k
+    assert s["spx_small"].max() < 36
+    # weak spmask excludes GT-255 pixels
+    assert not s["spmask_weak"][s["labels"] == 255].any()
+    assert s["images_weak"].shape == (24, 24, 3)
