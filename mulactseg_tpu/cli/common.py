@@ -54,10 +54,15 @@ def build_active_datasets(cfg):
     if "ignore" in cfg.loader and "ignore" not in tf_name:
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
     train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
+    weak_size = (1024, 2048) if cfg.dataset == "cityscapes" else None
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
                             encode_fn=encode,
-                            ignore_gt_in_spmask="ignore" in cfg.loader)
+                            ignore_gt_in_spmask="ignore" in cfg.loader,
+                            load_smaller_spx="hier" in cfg.method or
+                            cfg.method.endswith("_mseg"),
+                            async_views="async" in cfg.loader,
+                            weak_size=weak_size)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,
