@@ -54,13 +54,22 @@ def main():
                                (BATCH, H, W, 3))
     run = make_train_step_scan(model, cfg, K, donate=True)
 
+    from mulactseg_tpu.losses.fused import pixel_target_bits
+
     rng = np.random.RandomState(0)
+    target = (rng.rand(K, BATCH, NSEG, NUM_CLASSES + 1) < 0.15).astype(
+        np.float32)
+    spx = rng.randint(0, NSEG, (K, BATCH, H, W)).astype(np.int32)
+    spmask = rng.rand(K, BATCH, H, W) < 0.5
+    bits = np.stack([
+        np.stack([pixel_target_bits(target[k, b], spx[k, b], spmask[k, b])
+                  for b in range(BATCH)]) for k in range(K)])
     super_batch = {
         "images": jnp.asarray(rng.randn(K, BATCH, H, W, 3), jnp.float32),
-        "target": jnp.asarray(
-            (rng.rand(K, BATCH, NSEG, NUM_CLASSES + 1) < 0.15), jnp.float32),
-        "spx": jnp.asarray(rng.randint(0, NSEG, (K, BATCH, H, W)), jnp.int32),
-        "spmask": jnp.asarray(rng.rand(K, BATCH, H, W) < 0.5),
+        "target": jnp.asarray(target),
+        "target_bits": jnp.asarray(bits),
+        "spx": jnp.asarray(spx),
+        "spmask": jnp.asarray(spmask),
     }
     key = jax.random.PRNGKey(0)
 

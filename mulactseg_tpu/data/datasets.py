@@ -185,6 +185,12 @@ class RegionDatasetOr:
             spmask &= gt_t != self.cfg.ignore_idx
         sample = {"images": image, "target": target, "spx": spx,
                   "spmask": spmask, "fnames": self.im_idx[index]}
+        if target.shape[-1] <= 31:
+            # per-pixel candidate bitmask: packs the (S,C) row lookup the
+            # losses would otherwise gather on device (losses/fused.py)
+            from mulactseg_tpu.losses.fused import pixel_target_bits
+
+            sample["target_bits"] = pixel_target_bits(target, spx, spmask)
         if spx_small is not None:
             sample["spx_small"] = labels[idx].astype(np.int32)
         if gt is not None:

@@ -16,7 +16,7 @@ from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
-_ARRAY_KEYS = ("images", "labels", "target", "spx", "spmask",
+_ARRAY_KEYS = ("images", "labels", "target", "target_bits", "spx", "spmask",
                "spx_small", "images_weak", "spx_weak",
                "spmask_weak", "spx_small_weak")
 

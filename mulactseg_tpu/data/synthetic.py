@@ -134,6 +134,11 @@ class SyntheticRegionDataset:
                   "target": target.astype(np.float32),
                   "spx": sp.astype(np.int32), "spmask": spmask,
                   "fnames": key}
+        if target.shape[-1] <= 31:
+            from mulactseg_tpu.losses.fused import pixel_target_bits
+
+            sample["target_bits"] = pixel_target_bits(
+                target, sp.astype(np.int32), spmask)
         if self.spx_small_map is not None:
             sample["spx_small"] = self.spx_small_map.astype(np.int32)
         if self.async_views:

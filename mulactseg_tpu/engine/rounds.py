@@ -29,7 +29,12 @@ from mulactseg_tpu.engine.evaluate import Evaluator
 from mulactseg_tpu.engine.state import create_train_state
 from mulactseg_tpu.engine.train import make_eval_step, make_train_step
 from mulactseg_tpu.models import get_model
-from mulactseg_tpu.parallel import make_mesh, shard_batch
+from mulactseg_tpu.parallel import (
+    make_mesh,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
 
 log = logging.getLogger("mulactseg_tpu")
 
@@ -65,12 +70,39 @@ class ALTrainer:
         self.evaluator = Evaluator(self.model, cfg)
         self.val_dataset = val_dataset
         self.eval_dataset = eval_dataset
-        self.mesh = make_mesh(cfg.n_devices)
+        # Data parallelism: params/opt state replicated, batches sharded over
+        # the mesh's data axis; XLA inserts the gradient/normalizer psums
+        # (replaces the reference's dead SequentialDistributedSampler,
+        # active_selection/utils.py:8-45). With n_devices unset, all devices
+        # are used when the batch divides evenly; an explicit width that
+        # doesn't divide the batch is an error.
+        n_dev = cfg.n_devices
+        if n_dev is None:
+            n_dev = len(jax.devices())
+            while n_dev > 1 and cfg.train_batch_size % n_dev:
+                n_dev -= 1  # largest width that divides the batch
+        elif cfg.train_batch_size % n_dev:
+            raise ValueError(
+                f"train_batch_size {cfg.train_batch_size} not divisible "
+                f"by data-parallel width {n_dev}")
+        self.mesh = make_mesh(n_dev)
+        self.dp = self.mesh.size > 1
+        if self.dp:
+            self.state = replicate(self.state, self.mesh)
         self.checkpoint_file = os.path.join(
             cfg.model_save_dir, f"checkpoint{selection_iter:02d}")
 
     # -- inference helpers ------------------------------------------------------
     def predict_logits(self, images) -> jax.Array:
+        """Eval-mode logits; under DP the batch is padded to a multiple of
+        the mesh size (edge-repeat) and sharded so pool scoring runs on all
+        chips (SURVEY.md section 5 'distributed communication backend')."""
+        if self.dp:
+            imgs, n = pad_to_multiple(np.asarray(images), self.mesh.size)
+            imgs = shard_batch(jnp.asarray(imgs), self.mesh)
+            out = self.eval_step(self.state.params, self.state.batch_stats,
+                                 imgs)
+            return out[:n]
         return self.eval_step(self.state.params, self.state.batch_stats,
                               jnp.asarray(images))
 
@@ -96,6 +128,8 @@ class ALTrainer:
                 self.state = self.state.replace(batch_stats=bs)
         else:
             self.state = load_checkpoint(path, self.state)
+        if self.dp:  # restored leaves land on host/device 0; re-replicate
+            self.state = replicate(self.state, self.mesh)
 
     # -- training -----------------------------------------------------------------
     def train(self, active_set, total_itrs: Optional[int] = None,
@@ -118,8 +152,9 @@ class ALTrainer:
                         exist_ok=True)
             _profiler.start_trace(os.path.join(cfg.model_save_dir, "profile"))
             profiling = True
-        keys = ("images", "target", "spx", "spmask", "labels", "spx_small",
-                "images_weak", "spx_weak", "spmask_weak", "spx_small_weak")
+        keys = ("images", "target", "target_bits", "spx", "spmask", "labels",
+                "spx_small", "images_weak", "spx_weak", "spmask_weak",
+                "spx_small_weak")
         K = max(1, cfg.steps_per_dispatch)
         it = 0
         while it < total_itrs:
@@ -133,6 +168,9 @@ class ALTrainer:
                     k: jnp.asarray(np.stack([b[k] for b in batches]))
                     for k in keys if k in batches[0]
                 }
+                if self.dp:  # (K, B, ...) — shard the batch dim, axis 1
+                    super_batch = shard_batch(super_batch, self.mesh,
+                                              batch_dim=1)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, auxs = self._scan_step(self.state, super_batch,
                                                    step_rng)
@@ -142,6 +180,8 @@ class ALTrainer:
                 batch = next(loader)
                 device_batch = {k: jnp.asarray(batch[k])
                                 for k in keys if k in batch}
+                if self.dp:
+                    device_batch = shard_batch(device_batch, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, aux = self.train_step(self.state, device_batch,
                                                   step_rng)

@@ -37,14 +37,22 @@ def _window_grid(H, W, crop, stride_rate):
 
 class SlidingEval:
     """Callable (params, batch_stats, images (B,H,W,3)) -> logits
-    (B,H,W,C) with logits summed over the crop grid."""
+    (B,H,W,C) with logits summed over the crop grid.
+
+    With return_feat=True it is the utils/sliding_evaluator_plbl.py:16-29
+    twin: the decoder's 256-d features are accumulated alongside the
+    logits (both summed over windows) and the features are L2-renormalized
+    at the end, returning (feat (B,H,W,Ch), logits (B,H,W,C)) — the inputs
+    the cosine-prototype pseudo-label generator needs at full resolution.
+    """
 
     def __init__(self, model, num_classes: int, crop_size: int = 800,
-                 stride_rate: float = 2 / 3):
+                 stride_rate: float = 2 / 3, return_feat: bool = False):
         self.model = model
         self.num_classes = num_classes
         self.crop = crop_size
         self.stride_rate = stride_rate
+        self.return_feat = return_feat
         self._compiled = {}
 
     def _build(self, H: int, W: int):
@@ -52,6 +60,7 @@ class SlidingEval:
         padH, padW, pos = _window_grid(H, W, crop, self.stride_rate)
         pos_arr = jnp.asarray(np.asarray(pos, np.int32))
         model = self.model
+        return_feat = self.return_feat
 
         @jax.jit
         def run(params, batch_stats, images):
@@ -60,23 +69,51 @@ class SlidingEval:
             ph, pw = padH - H, padW - W
             img = jnp.pad(images, ((0, 0), (ph // 2, ph - ph // 2),
                                    (pw // 2, pw - pw // 2), (0, 0)))
-            acc0 = jnp.zeros((B, padH, padW, C), jnp.float32)
+
+            def crop_out(sub):
+                if return_feat:
+                    feat, logits = model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        sub, train=False, return_feat=True)
+                    return jnp.concatenate(
+                        [logits.astype(jnp.float32),
+                         feat.astype(jnp.float32)], axis=-1)
+                return model.apply({"params": params,
+                                    "batch_stats": batch_stats},
+                                   sub, train=False)[..., :C]
+
+            if return_feat:
+                _f, _l = jax.eval_shape(
+                    lambda s: model.apply(
+                        {"params": params, "batch_stats": batch_stats},
+                        s, train=False, return_feat=True),
+                    img[:, :crop, :crop])
+                logits_ch = _l.shape[-1]
+                Ch = _l.shape[-1] + _f.shape[-1]
+            else:
+                logits_ch, Ch = C, C
+            acc0 = jnp.zeros((B, padH, padW, Ch), jnp.float32)
 
             def body(acc, yx):
                 y, x = yx[0], yx[1]
                 sub = jax.lax.dynamic_slice(
                     img, (0, y, x, 0), (B, crop, crop, 3))
-                logits = model.apply({"params": params,
-                                      "batch_stats": batch_stats},
-                                     sub, train=False)[..., :C]
+                out = crop_out(sub)
                 patch = jax.lax.dynamic_slice(acc, (0, y, x, 0),
-                                              (B, crop, crop, C))
+                                              (B, crop, crop, Ch))
                 acc = jax.lax.dynamic_update_slice(
-                    acc, patch + logits.astype(jnp.float32), (0, y, x, 0))
+                    acc, patch + out.astype(jnp.float32), (0, y, x, 0))
                 return acc, None
 
             acc, _ = jax.lax.scan(body, acc0, pos_arr)
-            return acc[:, ph // 2:ph // 2 + H, pw // 2:pw // 2 + W, :]
+            acc = acc[:, ph // 2:ph // 2 + H, pw // 2:pw // 2 + W, :]
+            if return_feat:
+                logits = acc[..., :logits_ch]
+                feat = acc[..., logits_ch:]
+                feat = feat / jnp.maximum(
+                    jnp.linalg.norm(feat, axis=-1, keepdims=True), 1e-12)
+                return feat, logits
+            return acc
 
         return run
 

@@ -63,11 +63,22 @@ def _joint_loss(cfg, slice_last):
 
 def _lossdecomp_loss(cfg):
     def fn(logits, batch):
-        total, aux = lossdecomp(
-            logits, batch["target"], batch["spx"], batch["spmask"],
-            nseg=cfg.nseg, coeff=cfg.coeff, coeff_mc=cfg.coeff_mc,
-            coeff_gm=cfg.coeff_gm, multi_ce_temp=cfg.multi_ce_temp,
-            group_ce_temp=cfg.group_ce_temp)
+        if "target_bits" in batch:
+            # fast path: loader-packed per-pixel candidate bitmasks kill
+            # the latency-bound (S,C)-table row gathers (losses/fused.py)
+            from mulactseg_tpu.losses.fused import lossdecomp_fused
+
+            total, aux = lossdecomp_fused(
+                logits, batch["target_bits"], batch["target"], batch["spx"],
+                nseg=cfg.nseg, coeff=cfg.coeff, coeff_mc=cfg.coeff_mc,
+                coeff_gm=cfg.coeff_gm, multi_ce_temp=cfg.multi_ce_temp,
+                group_ce_temp=cfg.group_ce_temp)
+        else:
+            total, aux = lossdecomp(
+                logits, batch["target"], batch["spx"], batch["spmask"],
+                nseg=cfg.nseg, coeff=cfg.coeff, coeff_mc=cfg.coeff_mc,
+                coeff_gm=cfg.coeff_gm, multi_ce_temp=cfg.multi_ce_temp,
+                group_ce_temp=cfg.group_ce_temp)
         return _zero_if_nan(total), aux
     return fn
 

@@ -1,0 +1,95 @@
+"""Fused stage-1 lossdecomp over per-pixel target bitmasks.
+
+Semantically identical to losses/partial.lossdecomp (the shipped stage-1
+loss, trainer/active_joint_multi_predignore_lossdecomp.py:74-117) but
+built for the TPU memory system:
+
+  * the loader packs each pixel's candidate multi-hot as a <=32-bit int
+    (`target_bits`, 0 where the superpixel is unselected) — so the CE and
+    MC terms become ONE fused elementwise pass over the logits with no
+    per-pixel gather from the (S, C) annotation table (those row gathers
+    are latency-bound on TPU: ~26 ms/step at stage-1 shapes);
+  * the group (MIL) term runs through ops.segment.segment_softmax_max:
+    sorted-run Pallas kernel with the softmax computed in-register and a
+    sparse scatter backward — the (B, P, C) probability tensor never
+    exists in HBM.
+
+`pixel_target_bits` is the loader-side packer (numpy) and
+`pixel_target_bits_jnp` the device fallback for callers that only have
+(S, C) targets + spx + spmask.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mulactseg_tpu.ops.segment import segment_softmax_max
+
+EPS = 1e-8
+
+
+def pixel_target_bits(target: np.ndarray, spx: np.ndarray,
+                      spmask: np.ndarray) -> np.ndarray:
+    """Loader-side packer: (S, C<=32) multi-hot + (H, W) spx + (H, W)
+    selected-mask -> (H, W) int32 candidate bitmask (0 = invalid pixel)."""
+    C = target.shape[-1]
+    assert C <= 31, C
+    weights = (1 << np.arange(C, dtype=np.int64))
+    seg_bits = ((target > 0.5).astype(np.int64) * weights).sum(-1)
+    return (seg_bits[spx] * spmask).astype(np.int32)
+
+
+def pixel_target_bits_jnp(target, spx, spmask):
+    """Device fallback of pixel_target_bits ((B,S,C),(B,H,W),(B,H,W))."""
+    C = target.shape[-1]
+    weights = (1 << jnp.arange(C, dtype=jnp.int32))
+    seg_bits = jnp.sum((target > 0.5).astype(jnp.int32) * weights, axis=-1)
+    B = spx.shape[0]
+    flat = jnp.take_along_axis(seg_bits, spx.reshape(B, -1), axis=1)
+    return jnp.where(spmask.reshape(B, -1), flat, 0).reshape(spx.shape)
+
+
+def bits_to_multihot(bits, num_classes):
+    """(..., ) int32 -> (..., C) f32 candidate indicator."""
+    shifts = jnp.arange(num_classes, dtype=jnp.int32)
+    return ((bits[..., None] >> shifts) & 1).astype(jnp.float32)
+
+
+def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
+                     coeff=16.0, coeff_mc=8.0, coeff_gm=1.0,
+                     multi_ce_temp=0.1, group_ce_temp=0.1):
+    """coeff*CE(one-hot spx) + coeff_mc*MC(multi-hot spx) +
+    coeff_gm*Group(multi-hot spx), normalizers 1 + count, exactly as
+    losses/partial.lossdecomp. Returns (total, aux)."""
+    B, H, W, C = logits.shape
+    lg = logits.astype(jnp.float32).reshape(B, H * W, C)
+    bits = target_bits.reshape(B, H * W)
+    t = bits_to_multihot(bits, C)  # fused into the consumers below
+
+    # --- CE + MC terms: one elementwise pass over the logits --------------
+    logp = jax.nn.log_softmax(lg / multi_ce_temp, axis=-1)
+    pos = jnp.sum(jnp.exp(logp) * t, axis=-1)
+    nll = -jnp.log(pos + EPS)
+    n_cand = jnp.sum(t, axis=-1)
+    oh = n_cand == 1
+    mh = n_cand > 1
+    ce = jnp.sum(jnp.where(oh, nll, 0.0)) / (1.0 + jnp.sum(oh))
+    mc = jnp.sum(jnp.where(mh, nll, 0.0)) / (1.0 + jnp.sum(mh))
+
+    # --- group term: multi-hot pixels feed a per-(segment, class) max -----
+    sid = jnp.where(mh, spx.reshape(B, H * W), nseg).astype(jnp.int32)
+
+    def one(u, s):
+        mx, pix = segment_softmax_max(u, s, nseg)
+        return mx, pix[:, 0] < u.shape[0]
+
+    mx, present = jax.vmap(one)(lg / group_ce_temp, sid)  # (B,S,C), (B,S)
+    entry = (targets > 0.5) & present[:, :, None]
+    gnll = -jnp.log(mx + EPS)
+    group = jnp.sum(jnp.where(entry, gnll, 0.0)) / (1.0 + jnp.sum(entry))
+
+    total = coeff * ce + coeff_mc * mc + coeff_gm * group
+    return total, {"ce_loss": ce, "mc_loss": mc, "group_loss": group,
+                   "train_loss": total}

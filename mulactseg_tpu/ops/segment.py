@@ -333,6 +333,88 @@ def _smg_bwd(num_segments, res, cts):
 segment_max_grad.defvjp(_smg_fwd, _smg_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Softmax-fused segment max with a SPARSE backward.
+#
+# The group (MIL) loss needs max_{p in segment} softmax(l_p)[c]. Composing
+# softmax + segment_max_grad materializes the (P, C) probability array in
+# HBM twice (forward softmax pass + gathered sorted copy) and the backward
+# builds a dense (P, C) mask. This op instead gathers temperature-scaled
+# LOGITS into sorted order, softmaxes each row inside the Pallas kernel,
+# and — because only the S*C argmax pixels carry gradient — the backward
+# recomputes the softmax jacobian at just those rows and scatter-adds them,
+# so no dense (P, C) intermediate exists outside the one sorted gather.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def segment_softmax_max(scaled_logits, sid, num_segments):
+    """scaled_logits: (P, C) f32 = logits / temp; sid: (P,) int32 with
+    invalid pixels marked as num_segments. probs = softmax(scaled_logits)
+    per pixel; returns ((S, C) max prob, (S, C) argmax pixel index).
+    Absent segments -> (0, P). Gradients flow to scaled_logits through the
+    softmax at the argmax pixels only."""
+    return _ssm_impl(scaled_logits, sid, num_segments)
+
+
+def _ssm_impl(scaled_logits, sid, num_segments):
+    sid = sid.reshape(-1).astype(jnp.int32)
+    P, C = scaled_logits.shape
+    if _pallas_available() and C <= 128:
+        from mulactseg_tpu.ops.segment_pallas import (
+            LANES,
+            segment_softmax_max_pallas,
+        )
+
+        ctx = seg_context(sid, num_segments)
+        v = scaled_logits.astype(jnp.float32)
+        if C < LANES:
+            # pad BEFORE the gather: aligned 512-byte rows gather ~2.5x
+            # faster; the barrier stops XLA undoing pad(take(...))
+            v = jax.lax.optimization_barrier(
+                jnp.pad(v, ((0, 0), (0, LANES - C))))
+        g = jnp.take(v, ctx.order, axis=0)
+        vals, pos = segment_softmax_max_pallas(g, ctx.starts, ctx.ends,
+                                               num_classes=C)
+        vals, pos = vals[:, :C], pos[:, :C]
+        order_pad = jnp.concatenate(
+            [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
+        pix = order_pad[jnp.clip(pos, 0, P)]
+        return vals, pix
+    # CPU / fallback: dense softmax + scan-based segment max
+    probs = jax.nn.softmax(scaled_logits.astype(jnp.float32), axis=-1)
+    ctx = seg_context(sid, num_segments)
+    return seg_max_argmax(ctx, probs, fill=0.0)
+
+
+def _ssm_fwd(scaled_logits, sid, num_segments):
+    vals, pix = _ssm_impl(scaled_logits, sid, num_segments)
+    return (vals, pix), (scaled_logits, pix)
+
+
+def _ssm_bwd(num_segments, res, cts):
+    g, _ = cts  # (S, C) cotangent of the max probs
+    scaled_logits, pix = res
+    P, C = scaled_logits.shape
+    flat_pix = pix.reshape(-1)
+    safe = jnp.clip(flat_pix, 0, P - 1)
+    rows = jnp.take(scaled_logits.astype(jnp.float32), safe, axis=0)  # (S*C, C)
+    p = jax.nn.softmax(rows, axis=-1)
+    cls = jnp.tile(jnp.arange(C, dtype=jnp.int32), pix.shape[0])
+    p_c = jnp.take_along_axis(p, cls[:, None], axis=1)[:, 0]
+    live = (flat_pix < P) & (g.reshape(-1) != 0.0)
+    coef = jnp.where(live, g.reshape(-1), 0.0) * p_c
+    # d max_prob / d logits at the argmax pixel: p_c * (one_hot(c) - p)
+    drows = coef[:, None] * (jax.nn.one_hot(cls, C, dtype=jnp.float32) - p)
+    # dead entries scatter into a dump row P
+    tgt = jnp.where(live, safe, P)
+    dl = jnp.zeros((P + 1, C), jnp.float32).at[tgt].add(drows)[:P]
+    return dl.astype(scaled_logits.dtype), None
+
+
+segment_softmax_max.defvjp(_ssm_fwd, _ssm_bwd)
+
+
 def seg_sum_onehot_matmul(values: jax.Array, sid: jax.Array, num_segments: int,
                           chunk: int = 4096) -> jax.Array:
     """Alternative exact segment-sum on the MXU: chunked one-hot matmul

@@ -76,6 +76,110 @@ def _kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk, sem,
     lax.fori_loop(0, SEGS_PER_BLOCK, seg_body, 0)
 
 
+def _softmax_kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk,
+                    sem, *, fill: float, P: int, C: int):
+    """Like _kernel but the DMA'd rows are (logit/temp) values: each row is
+    softmaxed in-register (lanes >= C masked out) before the segmented max,
+    so the (P, C) probability array never exists in HBM."""
+    blk = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANES), 1)
+    lane_ok = lane < C
+
+    def seg_body(j, _):
+        s = blk * SEGS_PER_BLOCK + j
+        st = starts_ref[s]
+        en = ends_ref[s]
+        st0 = (st // 8) * 8
+        nch = lax.div(en - st0 + (CHUNK - 1), CHUNK)
+
+        def body(i, carry):
+            vmax, imax = carry
+            base = st0 + i * CHUNK
+            dma = pltpu.make_async_copy(g_hbm.at[pl.ds(base, CHUNK)],
+                                        chunk, sem)
+            dma.start()
+            dma.wait()
+            u = jnp.where(lane_ok, chunk[:], -jnp.inf)
+            m = jnp.max(u, axis=1, keepdims=True)
+            e = jnp.where(lane_ok, jnp.exp(u - m), 0.0)
+            p = e / jnp.sum(e, axis=1, keepdims=True)
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, LANES), 0) + base
+            valid = (rows >= st) & (rows < en)
+            v = jnp.where(valid, p, -jnp.inf)
+            cmax = jnp.max(v, axis=0, keepdims=True)
+            hit = v == cmax
+            cidx = jnp.min(jnp.where(hit & valid, rows, P), axis=0,
+                           keepdims=True)
+            take = cmax > vmax
+            vmax = jnp.where(take, cmax, vmax)
+            imax = jnp.where(take, cidx, imax)
+            return vmax, imax
+
+        init = (jnp.full((1, LANES), -jnp.inf, jnp.float32),
+                jnp.full((1, LANES), P, jnp.int32))
+        vmax, imax = lax.fori_loop(0, nch, body, init)
+        has = en > st
+        out_val[pl.ds(j, 1), :] = jnp.where(has, vmax, jnp.float32(fill))
+        out_idx[pl.ds(j, 1), :] = jnp.where(has, imax, jnp.int32(P))
+        return 0
+
+    lax.fori_loop(0, SEGS_PER_BLOCK, seg_body, 0)
+
+
+def _run_segment_kernel(kernel, g: jax.Array, starts: jax.Array,
+                        ends: jax.Array, interpret: bool):
+    """Shared pallas_call plumbing for the run-walking segment kernels.
+    `g` must already be (P, LANES) f32 in segment-sorted order."""
+    P = g.shape[0]
+    S = starts.shape[0]
+    g = jnp.pad(g, ((0, CHUNK + 8), (0, 0)), constant_values=0.0)
+    S_pad = (-S) % SEGS_PER_BLOCK
+    if S_pad:
+        starts = jnp.pad(starts, (0, S_pad))
+        ends = jnp.pad(ends, (0, S_pad))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=((S + S_pad) // SEGS_PER_BLOCK,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((SEGS_PER_BLOCK, LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SEGS_PER_BLOCK, LANES), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out_val, out_idx = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32), g.astype(jnp.float32))
+    return out_val[:S], out_idx[:S]
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "interpret"))
+def segment_softmax_max_pallas(g_sorted: jax.Array, starts: jax.Array,
+                               ends: jax.Array, num_classes: int,
+                               interpret: bool = False):
+    """g_sorted: (P, 128) f32 temperature-scaled logits in segment-sorted
+    order (pad lanes arbitrary). Per-pixel softmax over the first
+    `num_classes` lanes happens inside the kernel; returns ((S, 128) max
+    prob, (S, 128) argpos-in-sorted-order). Absent segments -> (0, P)."""
+    P, C = g_sorted.shape
+    assert C == LANES, "pre-pad logits to 128 lanes"
+    kern = functools.partial(_softmax_kernel, fill=0.0, P=P,
+                             C=num_classes)
+    return _run_segment_kernel(kern, g_sorted, starts, ends, interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("fill", "interpret"))
 def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
                        ends: jax.Array, fill: float = 0.0,

@@ -24,16 +24,39 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    return NamedSharding(mesh, P(axis))
+def batch_sharding(mesh: Mesh, axis: str = "data",
+                   batch_dim: int = 0) -> NamedSharding:
+    spec = (None,) * batch_dim + (axis,)
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Place every leaf of a batch pytree with its leading dim sharded over
-    the mesh's data axis."""
-    sh = batch_sharding(mesh, axis)
+def shard_batch(batch: Any, mesh: Mesh, axis: str = "data",
+                batch_dim: int = 0) -> Any:
+    """Place every leaf of a batch pytree with dim `batch_dim` sharded over
+    the mesh's data axis (batch_dim=1 for the (K, B, ...) super-batches of
+    the K-step scan dispatch)."""
+    sh = batch_sharding(mesh, axis, batch_dim)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate every leaf of a pytree (params/opt state) over the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_to_multiple(x, multiple: int):
+    """Pad dim 0 of an array up to a multiple (edge-repeat) so uneven final
+    batches can still shard evenly; returns (padded, original_len)."""
+    import numpy as np_
+
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np_.repeat(np_.asarray(x[-1:]), rem, axis=0)
+    return np_.concatenate([np_.asarray(x), pad], axis=0), n

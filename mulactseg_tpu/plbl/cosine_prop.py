@@ -90,17 +90,30 @@ def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
 
 @functools.partial(jax.jit, static_argnames=("nseg", "threshold_median",
                                              "chunk", "ignore_value",
-                                             "propagate"))
+                                             "propagate",
+                                             "filter_within_by_pred",
+                                             "filter_prop_by_pred"))
 def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
                           proto_cls, proto_valid, proto_adj, *, nseg: int,
                           threshold_median: bool = True, chunk: int = 65536,
-                          ignore_value: int = 255, propagate: bool = True):
+                          ignore_value: int = 255, propagate: bool = True,
+                          filter_within_by_pred: bool = False,
+                          filter_prop_by_pred: bool = False):
     """Single-image pseudo-label map.
 
     feats (P, Ch) L2-normalized; probs (P, C) softmax; spx (P,) int;
     pixel_valid (P,) bool (spmask, already restricted to multi-hot spxs
     unless include_onehot); proto_* from selected_spx_adjacency.
     Returns (P,) int32 labels with `ignore_value` where unassigned.
+
+    filter_within_by_pred: keep within-superpixel assignments only where
+    the model's top-1 prediction agrees, EXCEPT the prototype source
+    pixels, which always take their prototype class — ties among a
+    pixel's own prototypes resolve to the highest class, the reference's
+    last-writer-wins order (eval_save_cosplbl_filtgt.py:176-184).
+    filter_prop_by_pred: keep PROPAGATED assignments only where the
+    model's top-1 prediction agrees (eval_save_cosplbl_prop_filtered.py:
+    303-305); within-superpixel assignments are unfiltered.
     """
     P, Ch = feats.shape
     C = probs.shape[-1]
@@ -151,8 +164,11 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
         pick = starts
     thr = jnp.where(count > 0, sorted_sim[jnp.clip(pick, 0, P - 1)], 1.0)
 
+    pred_cls = jnp.argmax(probs, axis=-1).astype(jnp.int32)  # model top-1
+    pred_p = jnp.pad(pred_cls, (0, pad), constant_values=0)
+
     def pass2(carry, xs):
-        cf, cs = xs
+        cf, cs, cp = xs
         sim = cf @ pf.T  # (T, NP)
         cand = jnp.take(adj_t, cs, axis=0) & proto_ok[None, :]  # (T, NP)
         passing = cand & (sim > thr[None, :])
@@ -162,14 +178,23 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
         s_lbl = jnp.where(lbl_mask, sim, NEG)
         j = jnp.argmax(s_lbl, axis=-1)
         lbl = proto_cls[j]
+        if filter_prop_by_pred:
+            has = has & (lbl == cp)
         return carry, jnp.where(has, lbl, ignore_value).astype(jnp.int32)
 
     if propagate:
-        _, prop = jax.lax.scan(pass2, 0, (fcs, scs))
+        _, prop = jax.lax.scan(pass2, 0, (fcs, scs, pred_p.reshape(-1, chunk)))
         plbl = prop.reshape(-1)[:P]
     else:
         # eval_save_cosplbl_withinspx variant: no neighborhood propagation
         plbl = jnp.full((P,), ignore_value, jnp.int32)
     within = proto_cls[nn_proto]
+    if filter_within_by_pred:
+        # prototype source pixels always keep their class (highest wins)
+        proto_lbl = jnp.full((P + 1,), -1, jnp.int32).at[
+            jnp.where(proto_ok, src_pix, P)].max(
+            proto_cls.astype(jnp.int32))[:P]
+        within = jnp.where(proto_lbl >= 0, proto_lbl, within)
+        assigned = assigned & ((pred_cls == within) | (proto_lbl >= 0))
     plbl = jnp.where(assigned, within, plbl)
     return plbl.astype(jnp.int32)

@@ -2,10 +2,28 @@
 equivalents).
 
 Walks the labeled set at full resolution, runs feat_forward (optionally
-10-view TTA), generates the chosen pseudo-label type, saves PNGs under
-<save_root>/plbl_gen[_<type>]/round_<k>/ (path convention of
-trainer/eval_save_cosplbl_prop.py:35-44) and streams C+1-class
-IoU/precision/recall against the precise GT (:88-117).
+10-view TTA or sliding-window feature accumulation), generates the chosen
+pseudo-label type, saves PNGs under <save_root>/plbl_gen[_<type>]/
+round_<k>/ (path convention of trainer/eval_save_cosplbl_prop.py:35-44)
+and streams C+1-class IoU/precision/recall against the precise GT
+(:88-117). With save_vis, boundary-overlay visualizations go to a `_vis`
+twin directory (eval_save_cosplbl_prop.py:70-86).
+
+Type -> reference generator map:
+  cosprop                    eval_save_cosplbl_prop.py
+  cosprop_includeonehot      eval_save_cosplbl_prop_includeonehot.py
+  cosprop_includeonehot_slide  ..._includeonehot_slide.py (sliding feats)
+  cosprop_filtered           eval_save_cosplbl_prop_filtered.py
+  cosprop_plusonehot         eval_save_cosplbl_prop_plusonehot.py
+  cosprop_onehot(_ignore)    eval_save_cosplbl_prop_onehot(ignore).py
+  cos_withinspx              eval_save_cosplbl_prop_withinspx.py
+  cos_withinspx_includeonehot / cosplbl   eval_save_cosplbl.py, eval_save_plbl.py
+  cosplbl_filtgt             eval_save_cosplbl_filtgt.py
+  cos_naiveprop              eval_save_cosplbl_naiveprop.py
+  within_multihot / candidate  eval_save_candidateplbl.py
+  candidate_prop             eval_save_candidateplbl_prop.py
+  naive_argmax               eval_save_cosplbl_naive_voc.py
+  naive                      eval_save_naiveplbl.py
 """
 
 from __future__ import annotations
@@ -23,12 +41,34 @@ from mulactseg_tpu.plbl.cosine_prop import (
     cosine_prototype_plbl,
     selected_spx_adjacency,
 )
-from mulactseg_tpu.plbl.simple import naive_argmax_plbl, within_multihot_plbl
+from mulactseg_tpu.plbl.simple import (
+    naive_argmax_plbl,
+    naive_threshold_fill,
+    naive_threshold_plbl,
+    within_multihot_plbl,
+)
 from mulactseg_tpu.utils.metrics import MeanIoU
 
-PLBL_TYPES = ("cosprop", "cosprop_includeonehot", "naive_argmax",
-              "within_multihot", "cos_withinspx",
-              "cos_withinspx_includeonehot")
+# types whose core is the cosine-prototype machinery
+_COS_TYPES = {
+    # name: (include_onehot, propagate, filter_within, filter_prop)
+    "cosprop": (False, True, False, False),
+    "cosprop_includeonehot": (True, True, False, False),
+    "cosprop_includeonehot_slide": (True, True, False, False),
+    "cosprop_filtered": (False, True, False, True),
+    "cosprop_plusonehot": (False, True, False, False),
+    "cos_withinspx": (False, False, False, False),
+    "cos_withinspx_includeonehot": (True, False, False, False),
+    "cosplbl": (True, False, False, False),
+    "cosplbl_filtgt": (True, False, True, False),
+    "cos_naiveprop": (True, False, False, False),
+    "cosprop_onehot": (True, True, False, False),
+    "cosprop_onehotignore": (True, True, False, False),
+}
+
+PLBL_TYPES = tuple(sorted(_COS_TYPES)) + (
+    "naive_argmax", "naive", "within_multihot", "candidate",
+    "candidate_prop")
 
 
 class PseudoLabelGenerator:
@@ -44,24 +84,84 @@ class PseudoLabelGenerator:
         self._feat_step = jax.jit(
             lambda p, bs, x: model.apply({"params": p, "batch_stats": bs}, x,
                                          train=False, return_feat=True))
+        self._sliding = None
+        if plbl_type.endswith("_slide"):
+            from mulactseg_tpu.engine.sliding import SlidingEval
+
+            # feature-accumulating sliding twin (utils/sliding_evaluator_
+            # plbl.py:16-29): crop 800, stride 2/3, summed logits+feats
+            self._sliding = SlidingEval(model, cfg.num_classes + 1,
+                                        crop_size=cfg.slide_crop,
+                                        stride_rate=cfg.slide_stride_rate,
+                                        return_feat=True)
 
     def _forward(self, params, batch_stats, images):
+        if self._sliding is not None:
+            return self._sliding(params, batch_stats, images)
         if self.use_tta:
             return tta_feat_forward(self.model, params, batch_stats, images)
         return self._feat_step(params, batch_stats, images)
 
+    def _decode(self, plbl: np.ndarray) -> np.ndarray:
+        """Color-decode a pseudo-label map for visualization (255 -> the
+        extra class, like torch.masked_fill(plbl, plbl==255, C))."""
+        from mulactseg_tpu.data.constants import decode_cityscapes, voc_cmap
+
+        filled = np.where(plbl == 255, self.cfg.num_classes, plbl)
+        if self.cfg.dataset == "voc":
+            return voc_cmap()[np.clip(filled, 0, 255)].astype(np.uint8)
+        return decode_cityscapes(filled)
+
+    def _save_vis(self, plbl: np.ndarray, spx_map: np.ndarray, path: str):
+        """Boundary-overlay visualization: the skimage mark_boundaries
+        equivalent via ops.morphology.boundary_mask (yellow outlines)."""
+        from mulactseg_tpu.ops.morphology import boundary_mask
+
+        color = self._decode(plbl)
+        b = np.asarray(boundary_mask(jnp.asarray(spx_map)))
+        color[b.astype(bool)] = (255, 255, 0)
+        Image.fromarray(color).save(path)
+
+    def _dominant_to_targets(self, dom: np.ndarray, spx_map: np.ndarray):
+        """The label-expansion ablation's target construction
+        (eval_save_cosplbl_prop_onehot.py:92-104): per-superpixel one-hot
+        from a per-pixel dominant-label map (255 = unselected), 255 within
+        a selected superpixel -> the extra class. Returns (targets (S,Ct),
+        spmask, selected ids)."""
+        cfg = self.cfg
+        S, C = cfg.nseg, cfg.num_classes
+        spmask = dom != 255
+        flat_idx = spx_map.reshape(-1)
+        flat_dom = dom.reshape(-1)
+        seg_cls = np.full(S, -1, np.int64)
+        sel = flat_dom != 255
+        np.maximum.at(seg_cls, flat_idx[sel], flat_dom[sel].astype(np.int64))
+        seg_cls_filled = np.where(seg_cls == 255, C, seg_cls)
+        onehot = np.zeros((S, C + 1), np.float32)
+        has = seg_cls >= 0
+        onehot[np.arange(S)[has],
+               np.clip(seg_cls_filled[has], 0, C)] = 1.0
+        if self.plbl_type == "cosprop_onehot":
+            onehot = onehot[:, :-1]  # drop the converted-ignore channel
+        selected = np.nonzero(has)[0].tolist()
+        return onehot, spmask, selected
+
     def generate(self, params, batch_stats, loader: Iterable, *,
                  save_dir: Optional[str] = None, suppix: Optional[dict] = None):
         """loader yields single-image batches with images/labels/target/
-        spx/spmask/fnames (the eval_region_*_all contract). `suppix` maps
-        spx path -> selected superpixel ids (the active set's labeled
-        dict). Returns (miou, iou_table, precision_table, recall_table)."""
+        spx/spmask/fnames (the eval_region_*_all contract; the onehot
+        ablation types expect `target` to be the per-pixel dominant map).
+        `suppix` maps spx path -> selected superpixel ids (the active
+        set's labeled dict). Returns (miou, iou_table, precision_table,
+        recall_table)."""
         cfg = self.cfg
-        include_onehot = self.plbl_type.endswith("includeonehot")
-        propagate = self.plbl_type.startswith("cosprop")
+        ptype = self.plbl_type
         iou = MeanIoU(cfg.num_classes + 1, cfg.ignore_idx)
+        vis_dir = f"{save_dir}_vis" if save_dir else None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
+            if cfg.save_vis:
+                os.makedirs(vis_dir, exist_ok=True)
 
         for batch in loader:
             images = jnp.asarray(batch["images"])
@@ -71,24 +171,42 @@ class PseudoLabelGenerator:
             targets = np.asarray(batch["target"][0], np.float32)
             H, W = spx_map.shape
 
-            if self.plbl_type == "within_multihot":
+            if ptype in ("within_multihot", "candidate", "candidate_prop"):
                 logits = self.model.apply(
                     {"params": params, "batch_stats": batch_stats}, images,
                     train=False)
                 plbl = within_multihot_plbl(
-                    logits, jnp.asarray(targets)[None], jnp.asarray(spx_map)[None],
-                    jnp.asarray(spmask)[None])[0]
-            elif self.plbl_type == "naive_argmax":
+                    logits, jnp.asarray(targets)[None],
+                    jnp.asarray(spx_map)[None], jnp.asarray(spmask)[None])[0]
+                if ptype == "candidate_prop":
+                    plbl = naive_threshold_fill(
+                        plbl, logits[0], jnp.asarray(spmask),
+                        temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
+            elif ptype == "naive_argmax":
                 logits = self.model.apply(
                     {"params": params, "batch_stats": batch_stats}, images,
                     train=False)
                 plbl = naive_argmax_plbl(logits, jnp.asarray(spmask)[None],
                                          num_real_classes=logits.shape[-1])[0]
+            elif ptype == "naive":
+                logits = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats}, images,
+                    train=False)
+                plbl = naive_threshold_plbl(
+                    logits, jnp.asarray(spmask)[None],
+                    plbl_th=cfg.plbl_th)[0]
             else:
+                include_onehot, propagate, filt_within, filt_prop = \
+                    _COS_TYPES[ptype]
                 feat, logits = self._forward(params, batch_stats, images)
                 probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-                fname = batch["fnames"][0][2]
-                selected = (suppix or {}).get(fname, [])
+                if ptype.startswith("cosprop_onehot"):
+                    dom = np.asarray(batch["target"][0]).astype(np.int64)
+                    targets, spmask, selected = self._dominant_to_targets(
+                        dom, spx_map)
+                else:
+                    fname = batch["fnames"][0][2]
+                    selected = (suppix or {}).get(fname, [])
                 proto_sid, proto_cls, proto_valid, proto_adj = \
                     selected_spx_adjacency(spx_map, selected, cfg.nseg,
                                            targets, self.max_protos,
@@ -108,7 +226,22 @@ class PseudoLabelGenerator:
                     nseg=cfg.nseg,
                     threshold_median=cfg.cosprop_threshold_method == "median",
                     propagate=propagate,
+                    filter_within_by_pred=filt_within,
+                    filter_prop_by_pred=filt_prop,
                 ).reshape(H, W)
+                if ptype == "cos_naiveprop":
+                    plbl = naive_threshold_fill(
+                        plbl, logits[0], jnp.asarray(spmask),
+                        temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
+                elif ptype == "cosprop_plusonehot":
+                    # one-hot selected superpixels keep their annotated
+                    # class (eval_save_cosplbl_prop_plusonehot.py:312-328)
+                    onehot_seg = targets.sum(1) == 1
+                    spc = np.clip(spx_map, 0, cfg.nseg - 1)
+                    oh_pix = spmask & onehot_seg[spc]
+                    oh_cls = targets.argmax(1)[spc]
+                    plbl = jnp.where(jnp.asarray(oh_pix),
+                                     jnp.asarray(oh_cls, jnp.int32), plbl)
 
             plbl_np = np.asarray(plbl).astype(np.uint8)
             iou._after_step({"outputs": plbl_np[None],
@@ -117,6 +250,9 @@ class PseudoLabelGenerator:
                 lbl_id = os.path.basename(batch["fnames"][0][1]).split(".")[0]
                 Image.fromarray(plbl_np).save(
                     os.path.join(save_dir, f"{lbl_id}.png"))
+                if cfg.save_vis:
+                    self._save_vis(plbl_np, spx_map,
+                                   os.path.join(vis_dir, f"{lbl_id}.png"))
 
         ious, precs, recs = iou._after_epoch_ipr()
         miou = float(np.mean(ious))

@@ -42,3 +42,30 @@ def naive_argmax_plbl(logits, spmask, *, num_real_classes, ignore_value=255):
     B, H, W, C = logits.shape
     plbl = jnp.argmax(logits[..., :num_real_classes], axis=-1).astype(jnp.int32)
     return jnp.where(spmask.astype(bool), plbl, ignore_value)
+
+
+@functools.partial(jax.jit, static_argnames=("ignore_value",))
+def naive_threshold_plbl(logits, spmask, *, plbl_th=0.0, ignore_value=255):
+    """eval_save_naiveplbl semantics (trainer/eval_save_naiveplbl.py:50-56):
+    top-1 over ALL model channels; with plbl_th > 0 the mask is replaced by
+    a (no-temperature) softmax-confidence threshold over the whole image."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if plbl_th > 0:
+        mask = jnp.max(probs, axis=-1) > plbl_th
+    else:
+        mask = spmask.astype(bool)
+    plbl = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jnp.where(mask, plbl, ignore_value)
+
+
+@jax.jit
+def naive_threshold_fill(plbl, logits, spmask, *, temp, plbl_th):
+    """The *_prop / *_naiveprop fill step (eval_save_candidateplbl_prop.py:
+    48-60, eval_save_cosplbl_naiveprop.py:57-67): pixels OUTSIDE spmask
+    whose temperature-softmax top-1 confidence passes plbl_th take the
+    predicted class, overwriting the incoming pseudo label."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temp, axis=-1)
+    conf = jnp.max(probs, axis=-1)
+    cls = jnp.argmax(probs, axis=-1).astype(plbl.dtype)
+    fill = (conf > plbl_th) & ~spmask.astype(bool)
+    return jnp.where(fill, cls, plbl)

@@ -1,0 +1,125 @@
+"""Fused bitmask lossdecomp (losses/fused.py) parity against the composed
+reference-faithful implementation (losses/partial.lossdecomp): identical
+values AND gradients, plus the bit packer and the softmax-fused segment-max
+kernel in interpret mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mulactseg_tpu.losses.fused import (
+    bits_to_multihot,
+    lossdecomp_fused,
+    pixel_target_bits,
+    pixel_target_bits_jnp,
+)
+from mulactseg_tpu.losses import lossdecomp
+from mulactseg_tpu.ops.segment import seg_context, segment_softmax_max
+
+
+def _case(seed=0, B=2, H=24, W=24, S=16, C=6):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, H, W, C).astype(np.float32)
+    target = (rng.rand(B, S, C) < 0.3).astype(np.float32)
+    target[:, :4] = 0.0
+    target[0, 4] = np.eye(C)[0]  # guarantee a one-hot segment
+    gy = (np.arange(H) * 4 // H)
+    gx = (np.arange(W) * 4 // W)
+    spx = np.broadcast_to((gy[:, None] * 4 + gx[None, :]).astype(np.int32),
+                          (B, H, W))
+    spmask = rng.rand(B, H, W) < 0.7
+    bits = np.stack([pixel_target_bits(target[b], spx[b], spmask[b])
+                     for b in range(B)])
+    return logits, target, spx, spmask, bits, S
+
+
+def test_bit_packers_agree():
+    logits, target, spx, spmask, bits, S = _case()
+    got = pixel_target_bits_jnp(jnp.asarray(target), jnp.asarray(spx),
+                                jnp.asarray(spmask))
+    np.testing.assert_array_equal(np.asarray(got), bits)
+    # unpack round-trips
+    mh = np.asarray(bits_to_multihot(jnp.asarray(bits), target.shape[-1]))
+    want = target[np.arange(2)[:, None, None], spx] * spmask[..., None]
+    np.testing.assert_array_equal(mh, want)
+
+
+def test_lossdecomp_fused_matches_composed():
+    logits, target, spx, spmask, bits, S = _case()
+    kw = dict(nseg=S, coeff=16.0, coeff_mc=8.0, coeff_gm=1.0,
+              multi_ce_temp=0.1, group_ce_temp=0.1)
+
+    def f_ref(lg):
+        return lossdecomp(lg, jnp.asarray(target), jnp.asarray(spx),
+                          jnp.asarray(spmask), **kw)[0]
+
+    def f_fused(lg):
+        return lossdecomp_fused(lg, jnp.asarray(bits), jnp.asarray(target),
+                                jnp.asarray(spx), **kw)[0]
+
+    lg = jnp.asarray(logits)
+    v_ref, g_ref = jax.value_and_grad(f_ref)(lg)
+    v_fused, g_fused = jax.value_and_grad(f_fused)(lg)
+    np.testing.assert_allclose(float(v_fused), float(v_ref), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-6)
+
+    _, aux_ref = lossdecomp(lg, jnp.asarray(target), jnp.asarray(spx),
+                            jnp.asarray(spmask), **kw)
+    _, aux_fused = lossdecomp_fused(lg, jnp.asarray(bits),
+                                    jnp.asarray(target), jnp.asarray(spx),
+                                    **kw)
+    for k in ("ce_loss", "mc_loss", "group_loss"):
+        np.testing.assert_allclose(float(aux_fused[k]), float(aux_ref[k]),
+                                   rtol=2e-5, err_msg=k)
+
+
+def test_segment_softmax_max_grad_matches_dense():
+    rng = np.random.RandomState(1)
+    P, S, C = 512, 12, 5
+    sid = rng.randint(0, S + 1, size=P).astype(np.int32)
+    u = rng.randn(P, C).astype(np.float32)
+    w = jnp.asarray(rng.rand(S, C).astype(np.float32))
+
+    def via_op(x):
+        mx, _ = segment_softmax_max(x, jnp.asarray(sid), S)
+        return jnp.sum(mx * w)
+
+    def dense(x):
+        # brute force: per segment, max of softmax probs over member pixels
+        probs = jax.nn.softmax(x, axis=-1)
+        out = [jnp.max(jnp.where(jnp.asarray(sid == s)[:, None], probs, 0.0),
+                       axis=0) for s in range(S)]
+        return jnp.sum(jnp.stack(out) * w)
+
+    v1, g1 = jax.value_and_grad(via_op)(jnp.asarray(u))
+    v2, g2 = jax.value_and_grad(dense)(jnp.asarray(u))
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_segment_softmax_max_pallas_interpret():
+    from mulactseg_tpu.ops.segment_pallas import (
+        LANES,
+        segment_softmax_max_pallas,
+    )
+
+    rng = np.random.RandomState(2)
+    P, S, C = 2048, 23, 7
+    sid = rng.randint(0, S + 1, size=P).astype(np.int32)
+    sid[sid == 5] = S  # empty segment
+    u = rng.randn(P, C).astype(np.float32)
+    ctx = seg_context(jnp.asarray(sid), S)
+    g = jnp.take(jnp.pad(jnp.asarray(u), ((0, 0), (0, LANES - C)),
+                         constant_values=-1e30), ctx.order, axis=0)
+    got_v, got_pos = segment_softmax_max_pallas(g, ctx.starts, ctx.ends,
+                                                num_classes=C,
+                                                interpret=True)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(u), axis=-1))
+    for s in range(S):
+        m = sid == s
+        want = probs[m].max(0) if m.any() else np.zeros(C)
+        np.testing.assert_allclose(np.asarray(got_v)[s, :C], want,
+                                   rtol=1e-5, atol=1e-7, err_msg=str(s))
+    assert (np.asarray(got_pos)[5, :C] == P).all()

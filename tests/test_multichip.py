@@ -1,0 +1,64 @@
+"""Data-parallel training through the REAL trainer path on the 8-device
+CPU mesh: run_al_rounds end-to-end with sharded batches (single + K-step
+scan dispatch), sharded pool scoring with uneven final batches, and the
+driver's dryrun_multichip gate itself."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from mulactseg_tpu.cli.common import build_active_datasets
+from mulactseg_tpu.config import Config
+from mulactseg_tpu.engine.rounds import ALTrainer, run_al_rounds
+
+
+def dp_cfg(tmp_path, **kw):
+    d = dict(num_classes=5, nseg=16, crop_size=(32, 32), train_batch_size=8,
+             finetune_itrs=2, loader="synthetic", n_devices=8,
+             method="active_joint_multi_predignore_lossdecomp",
+             dtype="float32", num_workers=0, val_num_workers=0,
+             max_iterations=1, active_selection_size=40,
+             init_active_method="my_random",
+             active_method="my_bvsb_predclsbal_pwr_banignore",
+             model_save_dir=str(tmp_path), save_scores=False)
+    d.update(kw)
+    return Config(**d)
+
+
+def test_run_al_rounds_8dev_dp(tmp_path):
+    assert len(jax.devices()) == 8
+    cfg = dp_cfg(tmp_path, steps_per_dispatch=2)
+    active_set, val = build_active_datasets(cfg)
+    results = run_al_rounds(cfg, active_set, eval_dataset=val)
+    assert 1 in results and np.isfinite(results[1])
+
+
+def test_dp_state_replicated_and_pool_scoring_pads(tmp_path):
+    cfg = dp_cfg(tmp_path)
+    trainer = ALTrainer(cfg, selection_iter=1)
+    assert trainer.dp and trainer.mesh.size == 8
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8  # replicated over all 8
+
+    # uneven batch (3 images) pads to 8, shards, slices back
+    imgs = np.random.RandomState(0).randn(3, 32, 32, 3).astype(np.float32)
+    logits = trainer.predict_logits(imgs)
+    assert logits.shape[0] == 3
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_dp_batch_size_divisibility_guard(tmp_path):
+    cfg = dp_cfg(tmp_path, train_batch_size=6)
+    with pytest.raises(ValueError, match="not divisible"):
+        ALTrainer(cfg, selection_iter=1)
+
+
+def test_driver_dryrun_multichip():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
