@@ -65,7 +65,7 @@ def main():
         np.stack([pixel_target_bits(target[k, b], spx[k, b], spmask[k, b])
                   for b in range(BATCH)]) for k in range(K)])
     super_batch = {
-        "images": jnp.asarray(rng.randn(K, BATCH, H, W, 3), jnp.float32),
+        "images": jnp.asarray(rng.randn(K, BATCH, H, W, 3), jnp.bfloat16),
         "target": jnp.asarray(target),
         "target_bits": jnp.asarray(bits),
         "spx": jnp.asarray(spx),

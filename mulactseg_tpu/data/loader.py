@@ -37,7 +37,8 @@ class DataProvider:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, infinite: bool = True,
-                 num_workers: int = 4, prefetch: int = 4, seed: int = 0):
+                 num_workers: int = 4, prefetch: int = 4, seed: int = 0,
+                 post=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,6 +47,7 @@ class DataProvider:
         self.rng = np.random.RandomState(seed)
         self.pool = ThreadPoolExecutor(max_workers=max(1, num_workers))
         self.prefetch = prefetch
+        self.post = post  # applied to each collated batch in the worker
         self._iter = None
 
     def __len__(self):
@@ -75,8 +77,11 @@ class DataProvider:
                 b = next(batches)
             except StopIteration:
                 return False
-            fut = self.pool.submit(
-                lambda ids: collate([self.dataset[int(j)] for j in ids]), b)
+            def build(ids):
+                out = collate([self.dataset[int(j)] for j in ids])
+                return self.post(out) if self.post is not None else out
+
+            fut = self.pool.submit(build, b)
             pending.put(fut)
             return True
 

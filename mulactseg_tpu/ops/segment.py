@@ -367,13 +367,36 @@ def _ssm_impl(scaled_logits, sid, num_segments):
         )
 
         ctx = seg_context(sid, num_segments)
-        v = scaled_logits.astype(jnp.float32)
+        # bf16 through the pad+gather+kernel stream: the row gather is
+        # latency-bound (same time at half the bytes) but the pad write
+        # and the kernel's chunk DMAs halve; softmax runs f32 in-register
+        v = scaled_logits.astype(jnp.bfloat16)
         if C < LANES:
-            # pad BEFORE the gather: aligned 512-byte rows gather ~2.5x
-            # faster; the barrier stops XLA undoing pad(take(...))
+            # pad BEFORE the gather: aligned rows gather ~2.5x faster;
+            # the barrier stops XLA undoing pad(take(...))
             v = jax.lax.optimization_barrier(
                 jnp.pad(v, ((0, 0), (0, LANES - C))))
-        g = jnp.take(v, ctx.order, axis=0)
+        # Sorted order puts every invalid pixel (sid == num_segments) in a
+        # trailing bucket the kernel never reads; gather in chunks and
+        # skip chunks that are entirely inside that bucket. Early AL
+        # rounds have few selected pixels, so this skips most of the
+        # latency-bound gather.
+        CH = 65536
+        n_valid = ctx.ends[-1]
+        P_pad = (P + CH - 1) // CH * CH
+        order_p = jnp.pad(ctx.order, (0, P_pad - P))
+
+        def gather_chunk(c, _):
+            base = c * CH
+            idx = jax.lax.dynamic_slice(order_p, (base,), (CH,))
+            blk = jax.lax.cond(
+                base < n_valid,
+                lambda: jnp.take(v, idx, axis=0),
+                lambda: jnp.zeros((CH, v.shape[1]), v.dtype))
+            return c + 1, blk
+
+        _, g = jax.lax.scan(gather_chunk, 0, None, length=P_pad // CH)
+        g = g.reshape(P_pad, v.shape[1])[:P]
         vals, pos = segment_softmax_max_pallas(g, ctx.starts, ctx.ends,
                                                num_classes=C)
         vals, pos = vals[:, :C], pos[:, :C]
@@ -393,6 +416,13 @@ def _ssm_fwd(scaled_logits, sid, num_segments):
 
 
 def _ssm_bwd(num_segments, res, cts):
+    """d max_prob / d logits at the argmax pixel is p_c * (one_hot(c) - p).
+    Instead of scattering (S*C, C) ROWS (lowers to a serialized while loop
+    on TPU), split into (a) a scalar scatter of +coef at the flat element
+    index (pix, c) — these are unique by construction since a pixel
+    belongs to one segment — and (b) a rank-1 term -w[p] * softmax(u[p])
+    with w from a second scalar scatter, applied as one dense fused
+    elementwise pass."""
     g, _ = cts  # (S, C) cotangent of the max probs
     scaled_logits, pix = res
     P, C = scaled_logits.shape
@@ -403,12 +433,13 @@ def _ssm_bwd(num_segments, res, cts):
     cls = jnp.tile(jnp.arange(C, dtype=jnp.int32), pix.shape[0])
     p_c = jnp.take_along_axis(p, cls[:, None], axis=1)[:, 0]
     live = (flat_pix < P) & (g.reshape(-1) != 0.0)
-    coef = jnp.where(live, g.reshape(-1), 0.0) * p_c
-    # d max_prob / d logits at the argmax pixel: p_c * (one_hot(c) - p)
-    drows = coef[:, None] * (jax.nn.one_hot(cls, C, dtype=jnp.float32) - p)
-    # dead entries scatter into a dump row P
-    tgt = jnp.where(live, safe, P)
-    dl = jnp.zeros((P + 1, C), jnp.float32).at[tgt].add(drows)[:P]
+    coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
+    tgt = jnp.where(live, safe, P)  # dead entries -> dump row P
+    dl_elem = jnp.zeros(((P + 1) * C,), jnp.float32).at[
+        tgt * C + cls].add(coef).reshape(P + 1, C)[:P]
+    w = jnp.zeros((P + 1,), jnp.float32).at[tgt].add(coef)[:P]
+    dl = dl_elem - w[:, None] * jax.nn.softmax(
+        scaled_logits.astype(jnp.float32), axis=-1)
     return dl.astype(scaled_logits.dtype), None
 
 

@@ -78,28 +78,63 @@ def _kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk, sem,
 
 def _softmax_kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk,
                     sem, *, fill: float, P: int, C: int):
-    """Like _kernel but the DMA'd rows are (logit/temp) values: each row is
-    softmaxed in-register (lanes >= C masked out) before the segmented max,
-    so the (P, C) probability array never exists in HBM."""
+    """Like _kernel but (a) the DMA'd rows are (logit/temp) values — each
+    row is softmaxed in-register (lanes >= C masked) before the segmented
+    max, so the (P, C) probability array never exists in HBM — and (b)
+    DMAs are double-buffered ACROSS segments: while segment j's chunk is
+    being reduced, the next chunk (j's next, or segment j+1's first) is
+    already in flight. The serial start->wait->compute loop of _kernel
+    costs ~1.5 us of dead DMA latency per segment (~12 ms/step at stage-1
+    shapes); pipelining hides it behind the reduction."""
     blk = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, LANES), 1)
     lane_ok = lane < C
 
-    def seg_body(j, _):
-        s = blk * SEGS_PER_BLOCK + j
+    def seg_start(s):
+        # first aligned row of segment s's run (sublane multiple of 8)
+        return (starts_ref[s] // 8) * 8
+
+    def n_chunks(s):
+        # >= 1 so the pipeline stays regular; empty segments are masked out
+        return jnp.maximum(
+            lax.div(ends_ref[s] - seg_start(s) + (CHUNK - 1), CHUNK), 1)
+
+    def start_dma(s, i, slot):
+        dma = pltpu.make_async_copy(
+            g_hbm.at[pl.ds(seg_start(s) + i * CHUNK, CHUNK)],
+            chunk.at[slot], sem.at[slot])
+        dma.start()
+
+    s0 = blk * SEGS_PER_BLOCK
+    start_dma(s0, 0, 0)
+
+    def seg_body(j, q):
+        s = s0 + j
         st = starts_ref[s]
         en = ends_ref[s]
-        st0 = (st // 8) * 8
-        nch = lax.div(en - st0 + (CHUNK - 1), CHUNK)
+        st0 = seg_start(s)
+        nch = n_chunks(s)
 
         def body(i, carry):
-            vmax, imax = carry
+            vmax, imax, q = carry
+            # queue the successor chunk before consuming the current one
+            has_next_i = i + 1 < nch
+
+            @pl.when(has_next_i)
+            def _():
+                start_dma(s, i + 1, (q + 1) % 2)
+
+            @pl.when(jnp.logical_not(has_next_i) & (j + 1 < SEGS_PER_BLOCK))
+            def _():
+                start_dma(s + 1, 0, (q + 1) % 2)
+
+            slot = q % 2
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(st0 + i * CHUNK, CHUNK)],
+                chunk.at[slot], sem.at[slot]).wait()
             base = st0 + i * CHUNK
-            dma = pltpu.make_async_copy(g_hbm.at[pl.ds(base, CHUNK)],
-                                        chunk, sem)
-            dma.start()
-            dma.wait()
-            u = jnp.where(lane_ok, chunk[:], -jnp.inf)
+            u = jnp.where(lane_ok, chunk[slot].astype(jnp.float32),
+                          -jnp.inf)
             m = jnp.max(u, axis=1, keepdims=True)
             e = jnp.where(lane_ok, jnp.exp(u - m), 0.0)
             p = e / jnp.sum(e, axis=1, keepdims=True)
@@ -114,15 +149,15 @@ def _softmax_kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk,
             take = cmax > vmax
             vmax = jnp.where(take, cmax, vmax)
             imax = jnp.where(take, cidx, imax)
-            return vmax, imax
+            return vmax, imax, q + 1
 
         init = (jnp.full((1, LANES), -jnp.inf, jnp.float32),
-                jnp.full((1, LANES), P, jnp.int32))
-        vmax, imax = lax.fori_loop(0, nch, body, init)
+                jnp.full((1, LANES), P, jnp.int32), q)
+        vmax, imax, q = lax.fori_loop(0, nch, body, init)
         has = en > st
         out_val[pl.ds(j, 1), :] = jnp.where(has, vmax, jnp.float32(fill))
         out_idx[pl.ds(j, 1), :] = jnp.where(has, imax, jnp.int32(P))
-        return 0
+        return q
 
     lax.fori_loop(0, SEGS_PER_BLOCK, seg_body, 0)
 
@@ -130,10 +165,13 @@ def _softmax_kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk,
 def _run_segment_kernel(kernel, g: jax.Array, starts: jax.Array,
                         ends: jax.Array, interpret: bool):
     """Shared pallas_call plumbing for the run-walking segment kernels.
-    `g` must already be (P, LANES) f32 in segment-sorted order."""
+    `g` must already be (P, LANES) f32 in segment-sorted order. Scratch is
+    a 2-slot chunk buffer + DMA semaphore pair for double buffering."""
     P = g.shape[0]
     S = starts.shape[0]
-    g = jnp.pad(g, ((0, CHUNK + 8), (0, 0)), constant_values=0.0)
+    # 2*CHUNK pad: the double-buffered prefetch can run one full chunk
+    # past the last segment's end
+    g = jnp.pad(g, ((0, 2 * CHUNK + 8), (0, 0)), constant_values=0.0)
     S_pad = (-S) % SEGS_PER_BLOCK
     if S_pad:
         starts = jnp.pad(starts, (0, S_pad))
@@ -149,8 +187,8 @@ def _run_segment_kernel(kernel, g: jax.Array, starts: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK, LANES), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_val, out_idx = pl.pallas_call(
@@ -161,7 +199,7 @@ def _run_segment_kernel(kernel, g: jax.Array, starts: jax.Array,
             jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(starts.astype(jnp.int32), ends.astype(jnp.int32), g.astype(jnp.float32))
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32), g)
     return out_val[:S], out_idx[:S]
 
 

@@ -123,3 +123,34 @@ def test_segment_softmax_max_pallas_interpret():
         np.testing.assert_allclose(np.asarray(got_v)[s, :C], want,
                                    rtol=1e-5, atol=1e-7, err_msg=str(s))
     assert (np.asarray(got_pos)[5, :C] == P).all()
+
+
+def test_pixel_partial_ce_pallas_interpret():
+    from mulactseg_tpu.ops.pixel_loss_pallas import (
+        _bwd_pallas,
+        _dense_fwd,
+        _fwd_pallas,
+    )
+
+    rng = np.random.RandomState(3)
+    N, C = 1000, 6  # non-multiple of ROWS exercises the padding path
+    x = jnp.asarray(rng.randn(N, C).astype(np.float32))
+    bits = jnp.asarray(rng.randint(0, 2 ** C, N).astype(np.int32))
+    bits = bits * (rng.rand(N) < 0.8)  # some invalid pixels
+    want = _dense_fwd(x, bits, 0.1)
+    got = _fwd_pallas(x, bits, 0.1, interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(float(g), float(w), rtol=1e-5)
+
+    # backward parity vs autodiff of the dense forward
+    def dense_loss(xx):
+        a, b, c, d = _dense_fwd(xx, bits, 0.1)
+        return 2.0 * a + 3.0 * c
+
+    g_ref = jax.grad(dense_loss)(x)
+    g_got = _bwd_pallas(x, bits, jnp.float32(2.0), jnp.float32(3.0), 0.1,
+                        interpret=True)
+    # analytic vs autodiff chain differ only by f32 cancellation noise in
+    # saturated-softmax rows (pos ~ 1.0 at temp 0.1): allow ~3e-6 absolute
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=5e-3, atol=1e-5)
