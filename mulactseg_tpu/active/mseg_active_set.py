@@ -26,12 +26,17 @@ class MsegRegionActiveSet:
         self.trg_pool_dataset = trg_pool_dataset
         self.trg_label_dataset = trg_label_dataset
         self.root = root or getattr(trg_pool_dataset, "root", "")
+        # path templates are the reference's hardcoded cityscapes tree
+        # (mseg_region_active_dataset.py:10-12); overridable for other roots
+        self.img_tpl = IMG_TPL
+        self.lbl_tpl = LBL_TPL
+        self.spx_tpl = SPX_TPL
 
     def _paths(self, nseg: int, file_id: str) -> Tuple[str, str, str]:
         city = file_id.split("_")[0]
-        return (os.path.join(self.root, IMG_TPL.format(city, file_id)),
-                os.path.join(self.root, LBL_TPL.format(nseg, file_id)),
-                os.path.join(self.root, SPX_TPL.format(nseg, file_id)))
+        return (os.path.join(self.root, self.img_tpl.format(city, file_id)),
+                os.path.join(self.root, self.lbl_tpl.format(nseg, file_id)),
+                os.path.join(self.root, self.spx_tpl.format(nseg, file_id)))
 
     def expand_training_set(self, sample_region: Sequence[Tuple[float, str, int]],
                             selection_count: int, selection_method: str):

@@ -50,6 +50,9 @@ def build_active_datasets(cfg):
     else:
         encode = (encode_cityscapes if cfg.dataset == "cityscapes"
                   else encode_identity)
+    if cfg.loader.startswith("mseg"):
+        return _build_mseg_datasets(cfg, encode)
+
     tf_name = cfg.train_transform
     if "ignore" in cfg.loader and "ignore" not in tf_name:
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
@@ -74,6 +77,43 @@ def build_active_datasets(cfg):
                       encode_fn=encode)
            if os.path.exists(val_list) else None)
     return RegionActiveSet(cfg, pool, label), val
+
+
+def _build_mseg_datasets(cfg, encode):
+    """Mixed-scale loader wiring (mseg_region_cityscapes.py:77-87 datalist
+    substitution: each level's datalist/dict path is the previous level's
+    with the nseg token swapped)."""
+    from mulactseg_tpu.active.mseg_active_set import MsegRegionActiveSet
+    from mulactseg_tpu.data.datasets import RegionDatasetMseg
+    from mulactseg_tpu.data.transforms import PairedTransform
+
+    levels = sorted(int(n) for n in cfg.nseg_list)
+    if not levels:
+        raise ValueError("mseg loader requires --nseg-list")
+    datalists, region_dicts = {}, {}
+    dl, rd, cur = cfg.trg_datalist, cfg.region_dict, str(cfg.nseg)
+    for nseg in levels:
+        dl = dl.replace(cur, str(nseg))
+        rd = rd.replace(cur, str(nseg))
+        cur = str(nseg)
+        datalists[nseg], region_dicts[nseg] = dl, rd
+    # per-level pad values: each spx map pads with its own nseg so padded
+    # pixels can never alias a selected id (transform.py:62 pattern)
+    train_tf = PairedTransform(scale_range=(0.5, 2.0),
+                               crop_size=tuple(cfg.crop_size),
+                               pad_values=levels, hflip=True, seed=cfg.seed)
+    label = RegionDatasetMseg(cfg, datalists, region_dicts,
+                              split="active-label", transform=train_tf,
+                              encode_fn=encode)
+    pool = RegionDatasetMseg(cfg, datalists, region_dicts,
+                             split="active-ulabel", transform=None,
+                             encode_fn=encode,
+                             multi_hot_by_nseg=label.mseg_mh_cls)
+    val_list = os.path.join(cfg.datalist_dir, "val.txt")
+    val = (ValDataset(cfg, val_list, transform=get_val_transform(cfg),
+                      encode_fn=encode)
+           if os.path.exists(val_list) else None)
+    return MsegRegionActiveSet(cfg, pool, label, root=cfg.data_root), val
 
 
 def setup_run(cfg):

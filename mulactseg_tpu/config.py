@@ -40,6 +40,9 @@ class Config:
     region_dict: str = ""                 # derived
     nseg: int = 2048
     small_nseg: int = 32768
+    # mixed-scale superpixels, ascending (utils/common.py:334; when set the
+    # reference forces nseg = nseg_list[-1], common.py:149-150)
+    nseg_list: Tuple[int, ...] = ()
     spx_method: str = "seeds"
     ignore_idx: int = 255
     or_labeling: bool = True
@@ -174,6 +177,9 @@ def build_argparser() -> argparse.ArgumentParser:
                            default=f.default)
         elif f.name in ("crop_size",):
             p.add_argument(name, type=int, nargs=2, default=f.default)
+        elif f.name in ("nseg_list",):
+            # reference: --nseg_list nargs='+' (utils/common.py:334)
+            p.add_argument(name, type=int, nargs="+", default=f.default)
         elif f.default is None:
             p.add_argument(name, default=None)
         else:
@@ -187,6 +193,11 @@ def parse_config(argv: Optional[Sequence[str]] = None) -> Config:
                     for f in dataclasses.fields(Config)})
     if isinstance(cfg.crop_size, list):
         cfg.crop_size = tuple(cfg.crop_size)
+    if isinstance(cfg.nseg_list, list):
+        cfg.nseg_list = tuple(sorted(cfg.nseg_list))
+    if cfg.nseg_list:
+        # the reference forces nseg to the largest level (common.py:149-150)
+        cfg.nseg = cfg.nseg_list[-1]
     cfg.derive_paths()
     cfg.validate()
     return cfg

@@ -16,6 +16,7 @@ implementation (encode_fn hook instead of *_voc.py file twins).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import pickle
@@ -214,6 +215,131 @@ class RegionDatasetOr:
             sample["spmask_weak"] = spmask_w
             if raw["spx_small"] is not None:
                 sample["spx_small_weak"] = wl[j].astype(np.int32)
+        return sample
+
+
+class RegionDatasetMseg:
+    """Mixed-superpixel-scale region dataset
+    (mseg_region_cityscapes_or_tensor.py:17-102 over the merged-datalist
+    plumbing of mseg_region_cityscapes.py:60-103).
+
+    Each image carries annotations at several superpixel granularities
+    (`nseg_list`, ascending). im_idx entries are
+    ``[img_path, {str(nseg): [lbl_path, spx_path]}]`` — the format
+    MsegRegionActiveSet.expand_training_set produces — and `suppix` maps
+    spx_path -> selected superpixel ids.
+
+    TPU-first batch layout: instead of ragged per-image lists collated as
+    Python lists (the reference's 'mseg_labels'/'mseg_spx' lists), every
+    sample is padded to the full level axis S = len(nseg_list):
+      - 'mseg_spx'    (S, H, W) int32 — absent levels zero;
+      - 'mseg_spmask' (S, H, W) bool  — absent levels all-False (this is
+        what makes them loss-neutral, see losses/mseg.py);
+      - 'nseg_lbl'    (S,) bool level-present indicator
+        (mseg_region_cityscapes_or_tensor.py:94-96);
+      - 'mseg_target_{i}' (nseg_i, C+1) per-level multi-hot rows.
+    Static shapes mean one jitted step covers every level mixture.
+    """
+
+    def __init__(self, cfg, datalists: Dict[int, str],
+                 region_dicts: Dict[int, str], split: str,
+                 transform: Optional[PairedTransform] = None,
+                 encode_fn: Callable = encode_cityscapes,
+                 multi_hot_by_nseg: Optional[Dict[int, np.ndarray]] = None):
+        self.cfg = cfg
+        self.split = split
+        self.transform = transform
+        self.encode_fn = encode_fn
+        self.nseg_list = sorted(int(n) for n in cfg.nseg_list)
+        if not self.nseg_list:
+            raise ValueError("RegionDatasetMseg requires cfg.nseg_list")
+        self.root = cfg.data_root
+
+        # merged region dict over all levels (mseg_region_cityscapes.py:38-42)
+        self.region: Dict[str, List[int]] = {}
+        for nseg in self.nseg_list:
+            for k, v in load_region_dict(region_dicts[nseg]).items():
+                self.region[os.path.join(cfg.data_root, k)] = v
+                self.region[k] = v
+
+        # per-level multi-hot tensors + label-stem index
+        # (mseg_region_cityscapes_or_tensor.py:43-54)
+        self.mseg_mh_cls: Dict[int, np.ndarray] = {}
+        self.id_to_index: Dict[int, Dict[str, int]] = {}
+        self._lines: Dict[int, List[str]] = {}
+        for nseg in self.nseg_list:
+            with open(datalists[nseg]) as f:
+                lines = [l for l in f.read().splitlines() if l.strip()]
+            self._lines[nseg] = lines
+            if multi_hot_by_nseg is not None:
+                self.mseg_mh_cls[nseg] = multi_hot_by_nseg[nseg]
+            else:
+                sub = dataclasses.replace(cfg, nseg=nseg)
+                self.mseg_mh_cls[nseg] = np.load(
+                    multi_hot_paths(sub)["multi_hot_cls"])
+            idx = {}
+            for i, line in enumerate(lines):
+                lbl = line.split("\t")[1]
+                idx[os.path.basename(lbl).split(".")[0]] = i
+            self.id_to_index[nseg] = idx
+
+        self.im_idx: List[list] = []
+        self.suppix: Dict[str, List[int]] = {}
+        if split in ("active-ulabel", "pool", "train"):
+            # merged data list: one entry per image with every level
+            # (mseg_region_cityscapes.py:89-103)
+            by_img: Dict[str, Dict[str, List[str]]] = {}
+            for nseg in self.nseg_list:
+                for line in self._lines[nseg]:
+                    img, lbl, spx = (os.path.join(cfg.data_root, p)
+                                     for p in line.split("\t"))
+                    by_img.setdefault(img, {})[str(nseg)] = [lbl, spx]
+                    self.suppix[spx] = list(self.region.get(spx, []))
+            self.im_idx = [[img, d] for img, d in by_img.items()]
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_spx = self.im_idx[index]
+        image = np.asarray(Image.open(img_p).convert("RGB"))
+        S = len(self.nseg_list)
+        spx_maps: List[Optional[np.ndarray]] = [None] * S
+        present = np.zeros(S, bool)
+        for s, nseg in enumerate(self.nseg_list):
+            if str(nseg) in lbl_spx:
+                spx_maps[s] = open_spx(lbl_spx[str(nseg)][1])
+                present[s] = True
+        shape = next(m for m in spx_maps if m is not None).shape
+        labels = [m if m is not None else np.zeros(shape, np.int32)
+                  for m in spx_maps]
+        if self.transform is not None:
+            image, labels = self.transform(image, labels)
+        else:
+            image = normalize(image)
+        sample: Dict = {"images": image, "fnames": [img_p, lbl_spx],
+                        "nseg_lbl": present}
+        spx_stack, mask_stack = [], []
+        for s, nseg in enumerate(self.nseg_list):
+            spx = labels[s].astype(np.int32)
+            if present[s]:
+                spx_path = lbl_spx[str(nseg)][1]
+                lbl_path = lbl_spx[str(nseg)][0]
+                selected = self.suppix.get(spx_path, [])
+                mask = np.isin(spx, selected)
+                stem = os.path.basename(lbl_path).split(".")[0]
+                row = self.id_to_index[nseg][stem]
+                target = np.asarray(self.mseg_mh_cls[nseg][row], np.float32)
+            else:
+                mask = np.zeros(spx.shape, bool)
+                target = np.zeros(
+                    (self.mseg_mh_cls[nseg].shape[1],
+                     self.mseg_mh_cls[nseg].shape[2]), np.float32)
+            spx_stack.append(spx)
+            mask_stack.append(mask)
+            sample[f"mseg_target_{s}"] = target
+        sample["mseg_spx"] = np.stack(spx_stack)
+        sample["mseg_spmask"] = np.stack(mask_stack)
         return sample
 
 

@@ -25,7 +25,7 @@ def collate(samples: List[Dict]) -> Dict:
     out: Dict = {}
     for k in samples[0].keys():
         vals = [s[k] for s in samples]
-        if k in _ARRAY_KEYS:
+        if k in _ARRAY_KEYS or k.startswith("mseg_") or k == "nseg_lbl":
             out[k] = np.stack(vals)
         else:
             out[k] = vals

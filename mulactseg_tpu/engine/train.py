@@ -355,6 +355,89 @@ def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False):
     return fn
 
 
+def _mseg_loss(cfg):
+    """Mixed-superpixel-scale trainer
+    (active_joint_multi_predignore_mseg.py:114-147). The group term's
+    temperature is pinned to 1.0 — the reference hardcodes it in
+    MultisegGroupMultiLabelCE.__init__ (_mseg.py:13) regardless of
+    --group_ce_temp."""
+    nseg_list = tuple(sorted(int(n) for n in cfg.nseg_list))
+    if not nseg_list:
+        raise ValueError("method _mseg requires cfg.nseg_list")
+
+    from mulactseg_tpu.losses.mseg import mseg_joint_loss
+
+    def fn(logits, batch):
+        targets = [batch[f"mseg_target_{i}"] for i in range(len(nseg_list))]
+        total, aux = mseg_joint_loss(
+            logits, targets, batch["mseg_spx"], batch["mseg_spmask"],
+            nseg_list=nseg_list, coeff=cfg.coeff,
+            multi_ce_temp=cfg.multi_ce_temp, group_ce_temp=1.0)
+        return _zero_if_nan(total), aux
+    return fn
+
+
+def _ablation_loss(cfg):
+    """--loss_type switch (active_joint_multi_ablation.py:13-24). Note the
+    reference file is unimportable for rand/max (it imports
+    RandMultiChoiceCE/MaxMultiChoiceCE which utils/loss.py never defines);
+    those two are documented reconstructions in losses/partial.py."""
+    from mulactseg_tpu.losses.partial import (max_multi_choice_ce,
+                                              rand_multi_choice_ce,
+                                              rc_multi_choice_ce)
+
+    needs_rng = cfg.loss_type == "rand_multi_ce"
+
+    def fn(logits, batch, extra=None):
+        if cfg.loss_type == "rc_multi_ce":
+            pos = rc_multi_choice_ce(logits, batch["target"], batch["spx"],
+                                     batch["spmask"], temp=cfg.multi_ce_temp)
+        elif cfg.loss_type == "max_multi_ce":
+            pos = max_multi_choice_ce(logits, batch["target"], batch["spx"],
+                                      batch["spmask"], temp=cfg.multi_ce_temp)
+        elif cfg.loss_type == "rand_multi_ce":
+            pos = rand_multi_choice_ce(logits, batch["target"], batch["spx"],
+                                       batch["spmask"], extra["rng"],
+                                       temp=cfg.multi_ce_temp)
+        else:
+            raise NotImplementedError(cfg.loss_type)
+        group = group_multi_label_ce(
+            logits, batch["target"], batch["spx"], batch["spmask"],
+            nseg=cfg.nseg, temp=cfg.group_ce_temp, slice_last=True)
+        pos, group = _zero_if_nan(pos), _zero_if_nan(group)
+        total = cfg.coeff * pos + group
+        return total, {"train_loss": total, "pos_loss": pos,
+                       "group_loss": group}
+
+    fn.needs_rng = needs_rng
+    return fn
+
+
+def _sequence_loss(cfg):
+    """Sequence training: round k+1 stage-1 training additionally
+    supervised by round k's pseudo-label maps
+    (active_joint_multi_predignore_sequence.py:24-49; its criterion module
+    is absent upstream — see losses/partial.plbl_onehot_ce_multihot_choice
+    for the reconstruction). The CE and MC buckets share one pooled
+    normalizer: (ce_sum + mc_sum) / (ce_num + mc_num), sequence.py:46-47."""
+    from mulactseg_tpu.losses.partial import plbl_onehot_ce_multihot_choice
+
+    def fn(logits, batch):
+        ce_sum, ce_num, mc_sum, mc_num = plbl_onehot_ce_multihot_choice(
+            logits, batch["target"], batch["spx"], batch["spmask"],
+            batch["labels"], temp=cfg.multi_ce_temp,
+            ignore_idx=cfg.ignore_idx)
+        pos = (ce_sum + mc_sum) / (1.0 + ce_num + mc_num)
+        group = group_multi_label_ce(
+            logits, batch["target"], batch["spx"], batch["spmask"],
+            nseg=cfg.nseg, temp=cfg.group_ce_temp, slice_last=False)
+        pos, group = _zero_if_nan(pos), _zero_if_nan(group)
+        total = cfg.coeff * pos + group
+        return total, {"train_loss": total, "pos_loss": pos,
+                       "group_loss": group}
+    return fn
+
+
 CRITERIA: Dict[str, Callable] = {
     "active_joint_multi_predignore_lossdecomp": _lossdecomp_loss,
     "active_joint_multi_lossdecomp": _lossdecomp_loss,
@@ -397,6 +480,14 @@ CRITERIA: Dict[str, Callable] = {
         cfg, async_views=True),
     "active_joint_hier_multi_async_weight": lambda cfg: _hier_joint_loss(
         cfg, async_views=True, weight_reduce="max"),
+    "active_joint_multi_predignore_mseg": _mseg_loss,
+    "active_joint_multi_ablation": _ablation_loss,
+    "active_joint_multi_predignore_sequence": _sequence_loss,
+    # the reference ships this trainer as an EMPTY file
+    # (trainer/active_joint_multi_predignore_logprecision.py, 0 bytes);
+    # registered as the predignore criterion for method-string parity
+    "active_joint_multi_predignore_logprecision": lambda cfg: _joint_loss(
+        cfg, slice_last=False),
 }
 
 
@@ -411,6 +502,7 @@ def get_criterion(cfg):
 def _build_loss_fn(model, cfg, criterion):
     needs_feat = getattr(criterion, "needs_feat", False)
     needs_weak = getattr(criterion, "needs_weak_forward", False)
+    needs_rng = getattr(criterion, "needs_rng", False)
     total_itrs = float(cfg.finetune_itrs)
 
     def loss_fn(params, batch_stats, batch, rng, step_no):
@@ -435,6 +527,11 @@ def _build_loss_fn(model, cfg, criterion):
                      "plbl_logits": jax.lax.stop_gradient(plbl_logits),
                      "frac": step_no.astype(jnp.float32) / total_itrs}
             total, aux = criterion(out, batch, extra)
+        elif needs_rng:
+            # criteria that sample (rand_multi_ce ablation): a fold of the
+            # step rng, independent of the dropout stream
+            total, aux = criterion(out, batch,
+                                   {"rng": jax.random.fold_in(rng, 1)})
         else:
             total, aux = criterion(out, batch)
         return total, (aux, mutated["batch_stats"])

@@ -342,3 +342,85 @@ def multi_choice_ent(logits, targets, spx, spmask, *, temp=1.0, slice_last=True)
     ent = -jnp.sum(p * jnp.log(p + EPS), axis=-1)
     loss = jnp.sum(jnp.where(valid, ent, 0.0))
     return loss / (1.0 + jnp.sum(valid))
+
+
+def max_multi_choice_ce(logits, targets, spx, spmask, *, temp=1.0,
+                        slice_last=True):
+    """CE on the single most-confident candidate class per pixel.
+
+    Reconstruction of MaxMultiChoiceCE, which active_joint_multi_ablation.py:7
+    imports but utils/loss.py never defines (the reference file is
+    unimportable for --loss_type max_multi_ce). Natural semantics matching
+    the MultiChoiceCE frame: loss = -log max_{c in candidates} p_c.
+    """
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last)
+    trg_pixel = _pixel_targets(trg, spx)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    pos = jnp.max(jnp.where(trg_pixel > 0, probs, 0.0), axis=-1)
+    loss = jnp.sum(jnp.where(valid, -jnp.log(pos + EPS), 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def rand_multi_choice_ce(logits, targets, spx, spmask, rng, *, temp=1.0,
+                         slice_last=True):
+    """CE on one uniformly-sampled candidate class per pixel.
+
+    Reconstruction of RandMultiChoiceCE (same unimportable-import situation
+    as max_multi_choice_ce above): sample c ~ U(candidates), loss = -log p_c.
+    Implemented via Gumbel-max over the candidate mask so the sampling stays
+    inside the jitted program.
+    """
+    probs, trg, spx, mask = _flatten(logits, targets, spx, spmask, temp,
+                                     slice_last)
+    trg_pixel = _pixel_targets(trg, spx)
+    valid = mask & jnp.any(trg_pixel > 0, axis=-1)
+    g = jax.random.gumbel(rng, trg_pixel.shape, jnp.float32)
+    pick = jnp.argmax(jnp.where(trg_pixel > 0, g, -jnp.inf), axis=-1)
+    pos = jnp.take_along_axis(probs, pick[..., None], axis=-1)[..., 0]
+    loss = jnp.sum(jnp.where(valid, -jnp.log(pos + EPS), 0.0))
+    return loss / (1.0 + jnp.sum(valid))
+
+
+def plbl_onehot_ce_multihot_choice(logits, targets, spx, spmask, plbl, *,
+                                   temp=1.0, ignore_idx=255):
+    """Sequence-training positive term (PlblOnehotCEMultihotChoice).
+
+    The reference's sequence trainer
+    (active_joint_multi_predignore_sequence.py:9) imports this criterion
+    from trainer/active_joint_multi_predignore_lossdecomp_sequence.py, a
+    file absent from the repo — the trainer is unimportable upstream. This
+    reconstruction follows its call site exactly (sequence.py:44-49): it
+    must return (ce_loss_sum, ce_loss_num, mc_loss_sum, mc_loss_num) so the
+    caller can pool the normalizers, with the previous round's pseudo label
+    map (`plbl`, 255 = unknown) disambiguating multi-hot pixels:
+      - one-hot-superpixel pixels -> plain CE on the candidate class;
+      - multi-hot pixels whose plbl is one of the candidates -> CE on the
+        plbl class (counted into the CE bucket);
+      - remaining multi-hot pixels -> merged-positive MC.
+    """
+    probs, trg, spx_f, mask = _flatten(logits, targets, spx, spmask, temp,
+                                       slice_last=False)
+    B, P, C = probs.shape
+    trg_pixel = _pixel_targets(trg, spx_f)
+    n_cand = jnp.sum(trg_pixel, axis=-1)
+    plbl = plbl.reshape(B, P).astype(jnp.int32)
+    plbl_safe = jnp.clip(plbl, 0, C - 1)
+    plbl_onehot = jax.nn.one_hot(plbl_safe, C, dtype=jnp.float32)
+    plbl_in_cand = (plbl != ignore_idx) & (
+        jnp.sum(trg_pixel * plbl_onehot, axis=-1) > 0)
+
+    pos_merged = jnp.sum(probs * trg_pixel, axis=-1)
+    pos_plbl = jnp.take_along_axis(probs, plbl_safe[..., None],
+                                   axis=-1)[..., 0]
+
+    oh = mask & (n_cand == 1)
+    mh_plbl = mask & (n_cand > 1) & plbl_in_cand
+    mh = mask & (n_cand > 1) & ~plbl_in_cand
+
+    ce_sum = (jnp.sum(jnp.where(oh, -jnp.log(pos_merged + EPS), 0.0)) +
+              jnp.sum(jnp.where(mh_plbl, -jnp.log(pos_plbl + EPS), 0.0)))
+    ce_num = jnp.sum(oh) + jnp.sum(mh_plbl)
+    mc_sum = jnp.sum(jnp.where(mh, -jnp.log(pos_merged + EPS), 0.0))
+    mc_num = jnp.sum(mh)
+    return ce_sum, ce_num, mc_sum, mc_num
