@@ -29,7 +29,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REF_IMG_PER_S = 25.0  # estimated reference A100 throughput (see docstring)
+# Reference A100-chip throughput estimate. Provenance + a measured
+# same-hardware calibration row (torch twin vs flax on this box's CPU at
+# recipe shapes: JAX 1.55x faster) live in BASELINE.md "Measured numbers —
+# reference". 25 img/s is the OPTIMISTIC ceiling for the reference (pure
+# conv-stack community numbers, no partial-label loss loops), so
+# vs_baseline below under-reports this framework if anything.
+REF_IMG_PER_S = 25.0
 
 BATCH = 4
 H = W = 768

@@ -58,6 +58,15 @@ def build_active_datasets(cfg):
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
     train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
     weak_size = (1024, 2048) if cfg.dataset == "cityscapes" else None
+    # research loaders are name-keyed multi-hot rewrites
+    # (region_cityscapes_or_tensor_{tinyfilter,ratiofilter,ratiosample,
+    # dominantsample,toponebase}_gt.py)
+    mh_transform = None
+    for key in ("tinyfilter", "ratiofilter", "ratiosample",
+                "dominantsample", "toponebase"):
+        if key in cfg.loader:
+            mh_transform = key
+            break
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
                             encode_fn=encode,
@@ -65,18 +74,35 @@ def build_active_datasets(cfg):
                             load_smaller_spx="hier" in cfg.method or
                             cfg.method.endswith("_mseg"),
                             async_views="async" in cfg.loader,
-                            weak_size=weak_size)
+                            weak_size=weak_size,
+                            multihot_transform=mh_transform)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,
                            multi_hot_cls=label.multi_hot_cls)
     label.suppix = {}
     label.im_idx = []
-    val_list = os.path.join(cfg.datalist_dir, "val.txt")
-    val = (ValDataset(cfg, val_list, transform=get_val_transform(cfg),
-                      encode_fn=encode)
-           if os.path.exists(val_list) else None)
+    val = _build_val_dataset(cfg, encode)
     return RegionActiveSet(cfg, pool, label), val
+
+
+def _build_val_dataset(cfg, encode):
+    """val dataset; gta5 shares the cityscapes LUT (dataset.py
+    CityscapesGTA5.encode_target), synthia uses its own LUT + 16-bit
+    label reader (dataset.py SYNTHIA)."""
+    from mulactseg_tpu.data.datasets import encode_synthia, open_label_synthia
+
+    val_list = os.path.join(cfg.datalist_dir, "val.txt")
+    if not os.path.exists(val_list):
+        return None
+    label_opener = None
+    if cfg.dataset == "synthia":
+        encode = encode_synthia
+        label_opener = open_label_synthia
+    elif cfg.dataset == "gta5":
+        encode = encode_cityscapes
+    return ValDataset(cfg, val_list, transform=get_val_transform(cfg),
+                      encode_fn=encode, label_opener=label_opener)
 
 
 def _build_mseg_datasets(cfg, encode):
@@ -109,10 +135,7 @@ def _build_mseg_datasets(cfg, encode):
                              split="active-ulabel", transform=None,
                              encode_fn=encode,
                              multi_hot_by_nseg=label.mseg_mh_cls)
-    val_list = os.path.join(cfg.datalist_dir, "val.txt")
-    val = (ValDataset(cfg, val_list, transform=get_val_transform(cfg),
-                      encode_fn=encode)
-           if os.path.exists(val_list) else None)
+    val = _build_val_dataset(cfg, encode)
     return MsegRegionActiveSet(cfg, pool, label, root=cfg.data_root), val
 
 

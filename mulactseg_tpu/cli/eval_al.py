@@ -31,6 +31,49 @@ def main(argv=None):
     if cfg.resume_checkpoint:
         trainer.load(cfg.resume_checkpoint)
 
+    from mulactseg_tpu.engine.analysis import ANALYSIS_METHODS
+
+    if cfg.method in ANALYSIS_METHODS:
+        from mulactseg_tpu.engine.analysis import AnalysisEvaluator
+
+        if cfg.datalist_path:
+            active_set.selection_iter = cfg.init_iteration
+            active_set.load_datalist(cfg.datalist_path)
+        label_ds = active_set.trg_label_dataset
+        if ANALYSIS_METHODS[cfg.method].get("pred") == "argmax":
+            # eval_naive_vis evaluates the val set (eval_naive_vis.py:25-29)
+            if val is None:
+                raise SystemExit("eval_naive_vis needs a validation datalist")
+            eval_ds = val
+        else:
+            eval_ds = EvalRegionDatasetAll(cfg, label_ds, label_ds.suppix)
+        loader = DataProvider(eval_ds, 1, shuffle=False, drop_last=False,
+                              infinite=False, num_workers=cfg.val_num_workers)
+        prev_suppix = None
+        if ANALYSIS_METHODS[cfg.method].get("exclude_round"):
+            # eval_selected_spx_plbl.py:40-44: subtract the round-1
+            # selections so only this round's superpixels are evaluated
+            import json as _json
+
+            r1 = os.path.join(os.path.dirname(cfg.datalist_path or
+                                              cfg.model_save_dir),
+                              "datalist_01.json")
+            if os.path.exists(r1):
+                with open(r1) as f:
+                    prev_suppix = _json.load(f)["trg_label_suppix"]
+        evaluator = AnalysisEvaluator(trainer.model, cfg, cfg.method)
+        save_dir = (os.path.join(cfg.model_save_dir,
+                                 f"vis_{cfg.method}_{cfg.init_iteration:02d}")
+                    if (cfg.save_vis or
+                        ANALYSIS_METHODS[cfg.method].get("save_vis"))
+                    else None)
+        res = evaluator.run(trainer.state.params, trainer.state.batch_stats,
+                            loader, suppix=label_ds.suppix,
+                            prev_suppix=prev_suppix, save_dir=save_dir,
+                            logger=logger)
+        sink.log({"analysis_miou": res["miou"], "round": cfg.init_iteration})
+        return res["miou"]
+
     if cfg.plbl_type:
         if cfg.datalist_path:
             active_set.selection_iter = cfg.init_iteration

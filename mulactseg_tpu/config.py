@@ -51,6 +51,10 @@ class Config:
     trim_kernel_size: int = 5
     ignore_size: int = 0
     mark_topk: int = -1
+    # research-loader multi-hot rewrites (*_tinyfilter_gt etc.;
+    # utils/common.py:251-252)
+    multihot_filter_size: int = 0
+    multihot_filter_ratio: float = 0.0
     train_transform: str = "rescale_769_multi_notrg"
     val_transform: str = "eval"
     label_encoding: str = "auto"         # auto|identity|cityscapes

@@ -63,3 +63,11 @@ def voc_cmap(N: int = 256) -> np.ndarray:
 def decode_cityscapes(train_ids: np.ndarray) -> np.ndarray:
     t = np.where(train_ids == 255, 19, train_ids)
     return TRAIN_ID_TO_COLOR[t]
+
+
+# SYNTHIA raw id -> cityscapes train id (dataloader/constant.py:88-90:
+# syn_id_to_train_id, 255 = ignore). Index = SYNTHIA label id.
+SYN_ID_TO_TRAIN_ID = np.array(
+    [255, 10, 2, 0, 1, 4, 8, 5, 13, 7, 11, 18, 17,
+     255, 255, 6, 9, 12, 14, 15, 16, 3, 255, 255, 255,
+     255, 255, 255, 255, 255, 255, 255, 255, 255, 255], dtype=np.uint8)

@@ -65,6 +65,33 @@ def encode_identity(target: np.ndarray) -> np.ndarray:
     return np.asarray(target, dtype=np.int32)
 
 
+def encode_synthia(target: np.ndarray) -> np.ndarray:
+    """SYNTHIA raw id -> cityscapes train id (dataset.py SYNTHIA
+    encode_target; dataloader/constant.py syn_id_to_train_id)."""
+    from mulactseg_tpu.data.constants import SYN_ID_TO_TRAIN_ID
+
+    t = np.asarray(target, dtype=np.int64)
+    safe = np.clip(t, 0, len(SYN_ID_TO_TRAIN_ID) - 1)
+    out = SYN_ID_TO_TRAIN_ID[safe].astype(np.int32)
+    return np.where(t >= len(SYN_ID_TO_TRAIN_ID), 255, out)
+
+
+def open_label_synthia(path: str) -> np.ndarray:
+    """SYNTHIA GT PNGs are 16-bit multi-channel; the class id is channel 0
+    cast to uint8 (dataset.py:155-157, which uses imageio's PNG-FI
+    plugin). PIL handles the common encodings; imageio is used when
+    present for the freeimage-only files."""
+    try:
+        img = np.asarray(Image.open(path))
+    except Exception:
+        import imageio
+
+        img = np.asarray(imageio.imread(path, format="PNG-FI"))
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    return img.astype(np.uint8)
+
+
 def multi_hot_paths(cfg) -> Dict[str, str]:
     """Reference path conventions: cityscapes at
     region_cityscapes_or_tensor.py:27-34, VOC at
@@ -95,7 +122,9 @@ class RegionDatasetOr:
                  ignore_gt_in_spmask: bool = False,
                  load_smaller_spx: bool = False,
                  async_views: bool = False,
-                 weak_size: Optional[tuple] = None):
+                 weak_size: Optional[tuple] = None,
+                 multihot_transform: Optional[str] = None,
+                 sp_gt_size: Optional[np.ndarray] = None):
         # load_smaller_spx: also load the finer superpixel map by path
         # substitution seeds_{nseg} -> seeds_{small_nseg}
         # (region_cityscapes_or_tensor.py:76-80); async_views: add an
@@ -132,6 +161,21 @@ class RegionDatasetOr:
             drop_last_channel = cfg.dataset == "voc"
         if drop_last_channel and multi_hot_cls is None:
             self.multi_hot_cls = self.multi_hot_cls[:, :, :-1]
+        if multihot_transform:
+            # research-loader rewrite of the multi-hot tensor from GT
+            # class-wise superpixel sizes (data/research_filters.py;
+            # region_cityscapes_or_tensor_*_gt.py loaders)
+            from mulactseg_tpu.data.research_filters import (
+                apply_multihot_transform)
+
+            if sp_gt_size is None:
+                base = os.path.dirname(multi_hot_paths(cfg)["multi_hot_cls"])
+                sp_gt_size = np.load(os.path.join(base, "sp_gt_size.npy"))
+            if sp_gt_size.shape[-1] != self.multi_hot_cls.shape[-1]:
+                sp_gt_size = sp_gt_size[..., :self.multi_hot_cls.shape[-1]]
+            self.multi_hot_cls = apply_multihot_transform(
+                multihot_transform, np.asarray(self.multi_hot_cls),
+                np.asarray(sp_gt_size), cfg, seed=cfg.seed)
         self.isselected = np.zeros(self.multi_hot_cls.shape[:-1], np.float32)
         self.id_to_index = {}
         for index, line in enumerate(lines):
@@ -408,10 +452,13 @@ class ValDataset:
 
     def __init__(self, cfg, datalist: str,
                  transform: Optional[PairedTransform] = None,
-                 encode_fn: Callable = encode_cityscapes):
+                 encode_fn: Callable = encode_cityscapes,
+                 label_opener: Optional[Callable] = None):
+        # label_opener: e.g. open_label_synthia for 16-bit SYNTHIA GT
         self.cfg = cfg
         self.transform = transform
         self.encode_fn = encode_fn
+        self.label_opener = label_opener
         self.im_idx: List[List[str]] = []
         with open(datalist) as f:
             for line in f.read().splitlines():
@@ -427,7 +474,9 @@ class ValDataset:
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p = self.im_idx[index]
         image = np.asarray(Image.open(img_p).convert("RGB"))
-        gt = self.encode_fn(np.asarray(Image.open(lbl_p)))
+        raw = (self.label_opener(lbl_p) if self.label_opener is not None
+               else np.asarray(Image.open(lbl_p)))
+        gt = self.encode_fn(raw)
         if self.transform is not None:
             image, (gt,) = self.transform(image, [gt])
         else:

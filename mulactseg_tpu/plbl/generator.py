@@ -164,85 +164,9 @@ class PseudoLabelGenerator:
                 os.makedirs(vis_dir, exist_ok=True)
 
         for batch in loader:
-            images = jnp.asarray(batch["images"])
             labels = np.asarray(batch["labels"])
-            spx_map = np.asarray(batch["spx"][0])
-            spmask = np.asarray(batch["spmask"][0]).astype(bool)
-            targets = np.asarray(batch["target"][0], np.float32)
-            H, W = spx_map.shape
-
-            if ptype in ("within_multihot", "candidate", "candidate_prop"):
-                logits = self.model.apply(
-                    {"params": params, "batch_stats": batch_stats}, images,
-                    train=False)
-                plbl = within_multihot_plbl(
-                    logits, jnp.asarray(targets)[None],
-                    jnp.asarray(spx_map)[None], jnp.asarray(spmask)[None])[0]
-                if ptype == "candidate_prop":
-                    plbl = naive_threshold_fill(
-                        plbl, logits[0], jnp.asarray(spmask),
-                        temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
-            elif ptype == "naive_argmax":
-                logits = self.model.apply(
-                    {"params": params, "batch_stats": batch_stats}, images,
-                    train=False)
-                plbl = naive_argmax_plbl(logits, jnp.asarray(spmask)[None],
-                                         num_real_classes=logits.shape[-1])[0]
-            elif ptype == "naive":
-                logits = self.model.apply(
-                    {"params": params, "batch_stats": batch_stats}, images,
-                    train=False)
-                plbl = naive_threshold_plbl(
-                    logits, jnp.asarray(spmask)[None],
-                    plbl_th=cfg.plbl_th)[0]
-            else:
-                include_onehot, propagate, filt_within, filt_prop = \
-                    _COS_TYPES[ptype]
-                feat, logits = self._forward(params, batch_stats, images)
-                probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-                if ptype.startswith("cosprop_onehot"):
-                    dom = np.asarray(batch["target"][0]).astype(np.int64)
-                    targets, spmask, selected = self._dominant_to_targets(
-                        dom, spx_map)
-                else:
-                    fname = batch["fnames"][0][2]
-                    selected = (suppix or {}).get(fname, [])
-                proto_sid, proto_cls, proto_valid, proto_adj = \
-                    selected_spx_adjacency(spx_map, selected, cfg.nseg,
-                                           targets, self.max_protos,
-                                           include_onehot)
-                pixel_valid = spmask.reshape(-1).copy()
-                if not include_onehot:
-                    multi = targets.sum(1) > 1
-                    pixel_valid &= multi[np.clip(spx_map.reshape(-1), 0,
-                                                 cfg.nseg - 1)]
-                plbl = cosine_prototype_plbl(
-                    feat[0].reshape(-1, feat.shape[-1]),
-                    probs.reshape(-1, probs.shape[-1]),
-                    jnp.asarray(spx_map.reshape(-1)),
-                    jnp.asarray(pixel_valid),
-                    jnp.asarray(proto_sid), jnp.asarray(proto_cls),
-                    jnp.asarray(proto_valid), jnp.asarray(proto_adj),
-                    nseg=cfg.nseg,
-                    threshold_median=cfg.cosprop_threshold_method == "median",
-                    propagate=propagate,
-                    filter_within_by_pred=filt_within,
-                    filter_prop_by_pred=filt_prop,
-                ).reshape(H, W)
-                if ptype == "cos_naiveprop":
-                    plbl = naive_threshold_fill(
-                        plbl, logits[0], jnp.asarray(spmask),
-                        temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
-                elif ptype == "cosprop_plusonehot":
-                    # one-hot selected superpixels keep their annotated
-                    # class (eval_save_cosplbl_prop_plusonehot.py:312-328)
-                    onehot_seg = targets.sum(1) == 1
-                    spc = np.clip(spx_map, 0, cfg.nseg - 1)
-                    oh_pix = spmask & onehot_seg[spc]
-                    oh_cls = targets.argmax(1)[spc]
-                    plbl = jnp.where(jnp.asarray(oh_pix),
-                                     jnp.asarray(oh_cls, jnp.int32), plbl)
-
+            plbl, spx_map = self.plbl_for_batch(params, batch_stats, batch,
+                                                suppix)
             plbl_np = np.asarray(plbl).astype(np.uint8)
             iou._after_step({"outputs": plbl_np[None],
                              "targets": labels})
@@ -259,6 +183,92 @@ class PseudoLabelGenerator:
         fmt = lambda xs: ",".join([f"{np.mean(xs):.2f}"] +
                                   [f"{v:.2f}" for v in xs])
         return miou, fmt(ious), fmt(precs), fmt(recs)
+
+    def plbl_for_batch(self, params, batch_stats, batch,
+                       suppix: Optional[dict] = None):
+        """One image's pseudo-label map (H, W) for this generator's type;
+        also returns the superpixel map (for visualization overlays)."""
+        cfg = self.cfg
+        ptype = self.plbl_type
+        images = jnp.asarray(batch["images"])
+        spx_map = np.asarray(batch["spx"][0])
+        spmask = np.asarray(batch["spmask"][0]).astype(bool)
+        targets = np.asarray(batch["target"][0], np.float32)
+        H, W = spx_map.shape
+
+        if ptype in ("within_multihot", "candidate", "candidate_prop"):
+            logits = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            plbl = within_multihot_plbl(
+                logits, jnp.asarray(targets)[None],
+                jnp.asarray(spx_map)[None], jnp.asarray(spmask)[None])[0]
+            if ptype == "candidate_prop":
+                plbl = naive_threshold_fill(
+                    plbl, logits[0], jnp.asarray(spmask),
+                    temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
+        elif ptype == "naive_argmax":
+            logits = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            plbl = naive_argmax_plbl(logits, jnp.asarray(spmask)[None],
+                                     num_real_classes=logits.shape[-1])[0]
+        elif ptype == "naive":
+            logits = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False)
+            plbl = naive_threshold_plbl(
+                logits, jnp.asarray(spmask)[None],
+                plbl_th=cfg.plbl_th)[0]
+        else:
+            include_onehot, propagate, filt_within, filt_prop = \
+                _COS_TYPES[ptype]
+            feat, logits = self._forward(params, batch_stats, images)
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+            if ptype.startswith("cosprop_onehot"):
+                dom = np.asarray(batch["target"][0]).astype(np.int64)
+                targets, spmask, selected = self._dominant_to_targets(
+                    dom, spx_map)
+            else:
+                fname = batch["fnames"][0][2]
+                selected = (suppix or {}).get(fname, [])
+            proto_sid, proto_cls, proto_valid, proto_adj = \
+                selected_spx_adjacency(spx_map, selected, cfg.nseg,
+                                       targets, self.max_protos,
+                                       include_onehot)
+            pixel_valid = spmask.reshape(-1).copy()
+            if not include_onehot:
+                multi = targets.sum(1) > 1
+                pixel_valid &= multi[np.clip(spx_map.reshape(-1), 0,
+                                             cfg.nseg - 1)]
+            plbl = cosine_prototype_plbl(
+                feat[0].reshape(-1, feat.shape[-1]),
+                probs.reshape(-1, probs.shape[-1]),
+                jnp.asarray(spx_map.reshape(-1)),
+                jnp.asarray(pixel_valid),
+                jnp.asarray(proto_sid), jnp.asarray(proto_cls),
+                jnp.asarray(proto_valid), jnp.asarray(proto_adj),
+                nseg=cfg.nseg,
+                threshold_median=cfg.cosprop_threshold_method == "median",
+                propagate=propagate,
+                filter_within_by_pred=filt_within,
+                filter_prop_by_pred=filt_prop,
+            ).reshape(H, W)
+            if ptype == "cos_naiveprop":
+                plbl = naive_threshold_fill(
+                    plbl, logits[0], jnp.asarray(spmask),
+                    temp=cfg.ce_temp, plbl_th=cfg.plbl_th)
+            elif ptype == "cosprop_plusonehot":
+                # one-hot selected superpixels keep their annotated
+                # class (eval_save_cosplbl_prop_plusonehot.py:312-328)
+                onehot_seg = targets.sum(1) == 1
+                spc = np.clip(spx_map, 0, cfg.nseg - 1)
+                oh_pix = spmask & onehot_seg[spc]
+                oh_cls = targets.argmax(1)[spc]
+                plbl = jnp.where(jnp.asarray(oh_pix),
+                                 jnp.asarray(oh_cls, jnp.int32), plbl)
+
+        return plbl, spx_map
 
 
 def plbl_save_dir(checkpoint_path: str, plbl_type: Optional[str],

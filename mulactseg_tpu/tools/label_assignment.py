@@ -59,10 +59,13 @@ def _hist(spx_flat, gt_flat, nseg, num_classes, ignore_idx):
 
 def multi_hot_for_image(gt: np.ndarray, spx: np.ndarray, nseg: int,
                         num_classes: int, ignore_idx: int = 255,
-                        trim: bool = True, trim_kernel: int = 5
-                        ) -> Tuple[np.ndarray, np.ndarray]:
+                        trim: bool = True, trim_kernel: int = 5,
+                        return_class_sizes: bool = False):
     """Returns (multi_hot (nseg, C+1) uint8, sizes (nseg,) int32 with -1
-    for absent superpixels)."""
+    for absent superpixels[, class_sizes (nseg, C+1) int32 — the per-class
+    GT pixel counts behind the multi-hot, -1 rows for absent superpixels;
+    this is the `sp_gt_size.npy` tensor the *_gt research loaders consume,
+    whose generator the reference repo does not ship])."""
     spx_f = spx.reshape(-1)
     gt_f = gt.reshape(-1)
     full = _hist(spx_f, gt_f, nseg, num_classes, ignore_idx)
@@ -80,6 +83,10 @@ def multi_hot_for_image(gt: np.ndarray, spx: np.ndarray, nseg: int,
     mh = (counts > 0).astype(np.uint8)
     sizes = np.where(sizes_full > 0, sizes, -1).astype(np.int32)
     mh[sizes_full == 0] = 0
+    if return_class_sizes:
+        cls_sizes = np.where(sizes_full[:, None] > 0, counts, -1).astype(
+            np.int32)
+        return mh, sizes, cls_sizes
     return mh, sizes
 
 
@@ -106,14 +113,16 @@ def generate_multi_hot_dataset(samples, nseg: int, num_classes: int,
                                trim: bool = True, trim_kernel: int = 5):
     """samples: iterable of (gt (H,W) int, spx (H,W) int). Writes
     multi_hot_cls.npy + sp_size.npy like tools/label_assignment_tensor.py."""
-    mhs, sizes = [], []
+    mhs, sizes, cls_sizes = [], [], []
     for gt, spx in samples:
-        mh, sz = multi_hot_for_image(np.asarray(gt), np.asarray(spx), nseg,
-                                     num_classes, ignore_idx, trim,
-                                     trim_kernel)
+        mh, sz, cs = multi_hot_for_image(np.asarray(gt), np.asarray(spx),
+                                         nseg, num_classes, ignore_idx, trim,
+                                         trim_kernel, return_class_sizes=True)
         mhs.append(mh)
         sizes.append(sz)
+        cls_sizes.append(cs)
     os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "multi_hot_cls.npy"), np.stack(mhs))
     np.save(os.path.join(out_dir, "sp_size.npy"), np.stack(sizes))
+    np.save(os.path.join(out_dir, "sp_gt_size.npy"), np.stack(cls_sizes))
     return np.stack(mhs), np.stack(sizes)

@@ -48,6 +48,7 @@ class MeanIoU:
 
     def _before_epoch(self):
         self.cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        self.extra_positive = np.zeros(self.num_classes, np.float64)
 
     def _after_step(self, output_dict):
         preds = output_dict[self.output_tensor]
@@ -56,11 +57,33 @@ class MeanIoU:
             jnp.asarray(preds), jnp.asarray(targets),
             num_classes=self.num_classes, ignore_label=self.ignore_label)
 
+    def _after_step_within_predregion(self, output_dict):
+        """Accumulate only over pixels the prediction actually labeled
+        (pred != ignore_label); GT-ignore pixels still count into the
+        positive (prediction) marginal (utils/miou.py:40-55)."""
+        preds = jnp.asarray(output_dict[self.output_tensor])
+        targets = jnp.asarray(output_dict[self.target_tensor])
+        pred_valid = preds != self.ignore_label
+        # rows with GT==ignore vanish from the confusion matrix, so count
+        # their predictions separately to keep the positive marginal right
+        p = jnp.where(pred_valid, preds, 0)
+        self.cm = self.cm + confusion_matrix(
+            jnp.where(pred_valid, preds, self.num_classes + 1), targets,
+            num_classes=self.num_classes, ignore_label=self.ignore_label)
+        extra_mask = pred_valid & (targets == self.ignore_label)
+        oh = jax.nn.one_hot(p.reshape(-1), self.num_classes,
+                            dtype=jnp.float32)
+        extra = jnp.sum(oh * extra_mask.reshape(-1)[:, None].astype(
+            jnp.float32), axis=0)
+        self.extra_positive = getattr(
+            self, "extra_positive", np.zeros(self.num_classes)) + \
+            np.asarray(extra, np.float64)
+
     # -- host-side summaries ------------------------------------------------
     def _marginals(self):
         cm = np.asarray(self.cm, dtype=np.float64)
         seen = cm.sum(1)
-        positive = cm.sum(0)
+        positive = cm.sum(0) + getattr(self, "extra_positive", 0)
         correct = np.diag(cm)
         return seen, correct, positive
 

@@ -47,7 +47,7 @@ class TorchResNetStem(nn.Module):
     (conv1.{0,3,6}, bn1, layerL.B.*)."""
 
     def __init__(self, layers=(2, 2, 2, 2), stem_width=16,
-                 dilate=(False, False, True)):
+                 dilate=(False, False, True), planes=(16, 32, 64, 128)):
         super().__init__()
         self.conv1 = nn.Sequential(
             nn.Conv2d(3, stem_width, 3, 2, 1, bias=False),
@@ -60,7 +60,6 @@ class TorchResNetStem(nn.Module):
         self.maxpool = nn.MaxPool2d(3, 2, 1)
         self.inplanes = stem_width * 2
         self.dilation = 1
-        planes = (16, 32, 64, 128)
         strides = (1, 2, 2, 2)
         for i in range(4):
             stride = strides[i]
