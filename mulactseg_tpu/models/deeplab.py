@@ -14,7 +14,7 @@ features against L2-normalized class proxies (:85-129).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -146,17 +146,42 @@ class DeepLabHeadV2(nn.Module):
         return logits
 
 
+class SimpleAuxHead(nn.Module):
+    """Single 3x3 conv auxiliary classifier
+    (models/segmentation/deeplabv2.py:64-70; exported by the reference but
+    never wired into a constructor — included for model-zoo completeness,
+    attachable via DeepLabV3(aux_classifier=...))."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return conv(self.channels, 3, use_bias=False, init=kaiming_in,
+                    name="classifier")(x)
+
+
 class DeepLabV3(nn.Module):
     """Backbone + head + bilinear upsample to the input size
-    (models/segmentation/utils.py:20-34)."""
+    (models/segmentation/utils.py:20-34). aux_classifier, when set, taps
+    the backbone's low_level features and returns (logits, aux) — the
+    _SimpleSegmentationModel aux contract."""
 
     backbone: nn.Module
     classifier: nn.Module
+    aux_classifier: Optional[nn.Module] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_feat: bool = False):
+    def __call__(self, x, train: bool = False, return_feat: bool = False,
+                 return_aux: bool = False):
         input_size = x.shape[1:3]
         feats = self.backbone(x, train)
+        if return_aux:
+            if self.aux_classifier is None:
+                raise ValueError("model built without aux_classifier")
+            aux = self.aux_classifier(feats["low_level"], train)
+            aux = resize_bilinear(aux, input_size).astype(jnp.float32)
+            logits = self.classifier(feats, train)
+            return resize_bilinear(logits, input_size).astype(jnp.float32), aux
         if return_feat:
             feat, logits = self.classifier(feats, train, return_feat=True)
             feat = resize_bilinear(feat, input_size).astype(jnp.float32)

@@ -6,6 +6,22 @@ the step, parameters/optimizer state are replicated, and XLA inserts the
 gradient/BN psums over ICI. Loss normalizers (the global `num_valid`
 sums) are ordinary reductions over sharded arrays, so they become global
 psums automatically under jit — no hand-written collectives needed.
+
+BN-under-data-parallelism decision (documented per the round-1 review):
+batch statistics are GLOBAL (cross-replica synced). Under jit/GSPMD the
+batch mean/variance in FastBatchNorm are reductions over the sharded
+batch axis, so XLA inserts the psum — i.e. BN sees the full global batch,
+not a per-device slice. Rationale: (1) it is the semantics of the
+single-device program, so results are invariant to the mesh size used to
+run the same global batch — the reference recipe (batch 4, one GPU,
+trainer/base.py:27) reproduces EXACTLY on any mesh that keeps global
+batch 4; (2) per-device stats (the torch DataParallel accident) would
+change the effective BN batch with the mesh and break that invariance.
+The cost is one small (C,)-sized psum pair per BN layer, negligible on
+ICI. Scaling the global batch beyond the recipe's 4 is a recipe change
+and tunes LR/BN together regardless of framework; trajectory parity vs
+torch is pinned at global batch == reference batch by
+tools_dev/trajectory_parity.py and tests/test_trajectory_parity.py.
 """
 
 from __future__ import annotations

@@ -74,3 +74,27 @@ def test_train_mode_updates_batch_stats():
     old = v["batch_stats"]["backbone"]["bn1"]["mean"]
     new = mutated["batch_stats"]["backbone"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_simple_aux_head():
+    """DeepLabV2's SimpleAuxHead (deeplabv2.py:64-70) attaches to the
+    wrapper's low_level tap and returns (logits, aux)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mulactseg_tpu.models.deeplab import (DeepLabHeadV2, DeepLabV3,
+                                              SimpleAuxHead)
+    from mulactseg_tpu.models.resnet import ResNet
+
+    m = DeepLabV3(
+        backbone=ResNet(layers=(1, 1, 1, 1), deep_stem=False, stem_width=8,
+                        replace_stride_with_dilation=(False, False, True),
+                        stage_planes=(4, 8, 16, 32)),
+        classifier=DeepLabHeadV2(num_classes=6),
+        aux_classifier=SimpleAuxHead(channels=6))
+    x = jnp.ones((1, 33, 33, 3))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False,
+               return_aux=True)
+    logits, aux = m.apply(v, x, train=False, return_aux=True)
+    assert logits.shape == (1, 33, 33, 6)
+    assert aux.shape == (1, 33, 33, 6)
