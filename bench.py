@@ -60,13 +60,23 @@ def main():
                                (BATCH, H, W, 3))
     run = make_train_step_scan(model, cfg, K, donate=True)
 
+    from mulactseg_tpu.data.synthetic import irregular_superpixels
     from mulactseg_tpu.losses.fused import pixel_target_bits
 
     rng = np.random.RandomState(0)
     target = (rng.rand(K, BATCH, NSEG, NUM_CLASSES + 1) < 0.15).astype(
         np.float32)
-    spx = rng.randint(0, NSEG, (K, BATCH, H, W)).astype(np.int32)
-    spmask = rng.rand(K, BATCH, H, W) < 0.5
+    # contiguous irregular superpixels + whole-superpixel selection masks:
+    # the run structure of real SEEDS maps (which the segment engine's
+    # raster-block pre-reduction exploits); a per-pixel random map would
+    # benchmark a workload that never occurs
+    spx = np.stack([
+        np.stack([irregular_superpixels(H, W, NSEG, rng)
+                  for _ in range(BATCH)]) for _ in range(K)]).astype(np.int32)
+    sel = rng.rand(K, BATCH, NSEG) < 0.5
+    spmask = np.take_along_axis(
+        sel.reshape(K, BATCH, NSEG),
+        spx.reshape(K, BATCH, H * W), axis=2).reshape(K, BATCH, H, W)
     bits = np.stack([
         np.stack([pixel_target_bits(target[k, b], spx[k, b], spmask[k, b])
                   for b in range(BATCH)]) for k in range(K)])

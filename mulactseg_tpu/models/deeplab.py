@@ -29,33 +29,56 @@ from mulactseg_tpu.models.layers import (
 
 
 class ASPP(nn.Module):
+    """use_space_to_batch: run the dilated branches on the phase view at
+    the rates' common factor (e.g. rates 6/12/18 -> factor 6 -> dense-ish
+    convs at dilation 1/2/3 on 36x batch) — exact, MXU-friendlier than
+    XLA's dilated-conv lowering; auto-disabled when the spatial dims don't
+    divide the factor. See models/resnet.space_to_batch."""
+
     atrous_rates: Sequence[int]
     out_channels: int = 256
     separable: bool = False
     dtype: object = None
+    use_space_to_batch: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import math
+
+        from mulactseg_tpu.models.resnet import batch_to_space, space_to_batch
+
         size = x.shape[1:3]
+        B = x.shape[0]
         dt = self.dtype
+        f = math.gcd(*self.atrous_rates) if len(self.atrous_rates) > 1 else 0
+        use_s2b = (self.use_space_to_batch and not self.separable and f > 1
+                   and size[0] % f == 0 and size[1] % f == 0)
+        xb = space_to_batch(x, f) if use_s2b else x
         res = [ConvBNReLU(self.out_channels, 1, init=kaiming_in, dtype=dt,
-                          name="b0")(x, train)]
+                          name="b0")(xb, train)]
         for i, rate in enumerate(self.atrous_rates):
-            res.append(ConvBNReLU(self.out_channels, 3, dilation=rate,
+            res.append(ConvBNReLU(self.out_channels, 3,
+                                  dilation=rate // f if use_s2b else rate,
                                   separable=self.separable, init=kaiming_in,
-                                  dtype=dt, name=f"b{i + 1}")(x, train))
-        # image pooling branch
+                                  dtype=dt, name=f"b{i + 1}")(xb, train))
+        # image pooling branch (per original image, computed outside the
+        # phase view)
         pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
         pooled = conv(self.out_channels, 1, init=kaiming_in, dtype=dt,
                       name="pool_conv")(pooled)
         pooled = batch_norm(train, name="pool_bn", dtype=dt)(pooled)
         pooled = nn.relu(pooled)
+        if use_s2b:
+            pooled = jnp.repeat(pooled, f * f, axis=0)
         pooled = jnp.broadcast_to(
-            pooled, (x.shape[0], size[0], size[1], self.out_channels))
+            pooled, (xb.shape[0], xb.shape[1], xb.shape[2],
+                     self.out_channels))
         res.append(pooled)
         y = jnp.concatenate(res, axis=-1)
         y = ConvBNReLU(self.out_channels, 1, init=kaiming_in, dtype=dt,
                        name="project")(y, train)
+        if use_s2b:
+            y = batch_to_space(y, f, B)
         y = nn.Dropout(0.1, deterministic=not train)(y)
         return y
 

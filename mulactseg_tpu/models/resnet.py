@@ -54,8 +54,33 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+def space_to_batch(x, f: int):
+    """Phase decomposition: (B,H,W,C) -> (B*f*f, H/f, W/f, C). A 3x3 conv
+    with dilation f and stride 1 never mixes phases, so running it as a
+    dense 3x3 conv on the phase view is EXACT — and dense convs tile onto
+    the MXU far better than dilated ones. BN batch stats see the same
+    pixel multiset, so they are unchanged too."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // f, f, W // f, f, C)
+    x = x.transpose(0, 2, 4, 1, 3, 5)
+    return x.reshape(B * f * f, H // f, W // f, C)
+
+
+def batch_to_space(x, f: int, B: int):
+    """Inverse of space_to_batch."""
+    _, h, w, C = x.shape
+    x = x.reshape(B, f, f, h, w, C)
+    x = x.transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(B, h * f, w * f, C)
+
+
 class ResNet(nn.Module):
-    """layers: blocks per stage, e.g. (3,4,6,3) for ResNet-50."""
+    """layers: blocks per stage, e.g. (3,4,6,3) for ResNet-50.
+
+    use_space_to_batch: run the all-dilated tail of each dilated stage
+    (blocks 1.. — block 0 keeps the previous dilation, the torch quirk)
+    on the phase-decomposed view; exact, auto-disabled when the spatial
+    dims don't divide the dilation factor."""
 
     layers: Sequence[int] = (3, 4, 6, 3)
     deep_stem: bool = False
@@ -63,6 +88,7 @@ class ResNet(nn.Module):
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, True)
     dtype: object = None
     stage_planes: Tuple[int, int, int, int] = (64, 128, 256, 512)
+    use_space_to_batch: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -95,6 +121,7 @@ class ResNet(nn.Module):
             if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
                 dilation *= stride
                 stride = 1
+            s2b_f = 0
             for b in range(self.layers[stage]):
                 if b == 0:
                     need_ds = stride != 1 or inplanes != planes * 4
@@ -102,9 +129,20 @@ class ResNet(nn.Module):
                                    downsample=need_ds, dtype=dt,
                                    name=f"layer{stage + 1}_{b}")(x, train)
                     inplanes = planes * 4
+                    if (self.use_space_to_batch and dilation > 1
+                            and self.layers[stage] > 1
+                            and x.shape[1] % dilation == 0
+                            and x.shape[2] % dilation == 0):
+                        s2b_f = dilation
+                        B0 = x.shape[0]
+                        x = space_to_batch(x, s2b_f)
                 else:
-                    x = Bottleneck(planes, 1, dilation, dtype=dt,
+                    x = Bottleneck(planes, 1,
+                                   dilation // s2b_f if s2b_f else dilation,
+                                   dtype=dt,
                                    name=f"layer{stage + 1}_{b}")(x, train)
+            if s2b_f:
+                x = batch_to_space(x, s2b_f, B0)
             if stage == 0:
                 taps["low_level"] = x
         taps["out"] = x

@@ -44,8 +44,12 @@ def main(modes):
 
     rng = np.random.RandomState(0)
     target = (rng.rand(K, BATCH, NSEG, C + 1) < 0.15).astype(np.float32)
-    spx = rng.randint(0, NSEG, (K, BATCH, H, W)).astype(np.int32)
-    spmask = rng.rand(K, BATCH, H, W) < 0.5
+    from mulactseg_tpu.data.synthetic import irregular_superpixels
+    spx = np.stack([np.stack([irregular_superpixels(H, W, NSEG, rng)
+                    for _ in range(BATCH)]) for _ in range(K)]).astype(np.int32)
+    sel = rng.rand(K, BATCH, NSEG) < 0.5
+    spmask = np.take_along_axis(sel, spx.reshape(K, BATCH, -1),
+                                axis=2).reshape(K, BATCH, H, W)
     bits = np.stack([
         np.stack([pixel_target_bits(target[k, b], spx[k, b], spmask[k, b])
                   for b in range(BATCH)]) for k in range(K)])
