@@ -258,10 +258,17 @@ import os as _os
 def _pallas_available() -> bool:
     if _os.environ.get("MULACTSEG_NO_PALLAS"):
         return False
+    if _os.environ.get("MULACTSEG_FORCE_PALLAS_INTERPRET"):
+        # CPU tests of the TPU-only code path (kernels run interpreted)
+        return True
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def _pallas_interpret() -> bool:
+    return bool(_os.environ.get("MULACTSEG_FORCE_PALLAS_INTERPRET"))
 
 
 def _seg_max_argmax_impl(values, sid, num_segments):
@@ -281,7 +288,8 @@ def _seg_max_argmax_impl(values, sid, num_segments):
             v = jax.lax.optimization_barrier(
                 jnp.pad(v, ((0, 0), (0, LANES - C))))
         g = jnp.take(v, ctx.order, axis=0)
-        vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0)
+        vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0,
+                                       interpret=_pallas_interpret())
         vals, pos = vals[:, :C], pos[:, :C]
         order_pad = jnp.concatenate(
             [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
@@ -357,10 +365,23 @@ def segment_softmax_max(scaled_logits, sid, num_segments):
     return _ssm_impl(scaled_logits, sid, num_segments)
 
 
+_BLOCK = 4  # raster-block pre-reduction width (see below)
+
+
+def _use_prereduce() -> bool:
+    """Raster-block pre-reduction cuts the gathered-row count ~3x but adds
+    a softmax/merge kernel pass; on the current chip the two roughly
+    cancel (22.4 vs 23.7 img/s at stage-1 shapes), so the simpler
+    gather-logits path is the default. Kept switchable for re-evaluation
+    on other TPU generations (a higher HBM-latency : bandwidth ratio
+    favors it)."""
+    return _os.environ.get("MULACTSEG_SSM_PREREDUCE", "0") == "1"
+
+
 def _ssm_impl(scaled_logits, sid, num_segments):
     sid = sid.reshape(-1).astype(jnp.int32)
     P, C = scaled_logits.shape
-    if _pallas_available() and C <= 128:
+    if _pallas_available() and C <= 128 and not _use_prereduce():
         from mulactseg_tpu.ops.segment_pallas import (
             LANES,
             segment_softmax_max_pallas,
@@ -376,11 +397,6 @@ def _ssm_impl(scaled_logits, sid, num_segments):
             # the barrier stops XLA undoing pad(take(...))
             v = jax.lax.optimization_barrier(
                 jnp.pad(v, ((0, 0), (0, LANES - C))))
-        # Sorted order puts every invalid pixel (sid == num_segments) in a
-        # trailing bucket the kernel never reads; gather in chunks and
-        # skip chunks that are entirely inside that bucket. Early AL
-        # rounds have few selected pixels, so this skips most of the
-        # latency-bound gather.
         CH = 65536
         n_valid = ctx.ends[-1]
         P_pad = (P + CH - 1) // CH * CH
@@ -397,12 +413,98 @@ def _ssm_impl(scaled_logits, sid, num_segments):
 
         _, g = jax.lax.scan(gather_chunk, 0, None, length=P_pad // CH)
         g = g.reshape(P_pad, v.shape[1])[:P]
-        vals, pos = segment_softmax_max_pallas(g, ctx.starts, ctx.ends,
-                                               num_classes=C)
+        vals, pos = segment_softmax_max_pallas(
+            g, ctx.starts, ctx.ends, num_classes=C,
+            interpret=_pallas_interpret())
         vals, pos = vals[:, :C], pos[:, :C]
         order_pad = jnp.concatenate(
             [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
         pix = order_pad[jnp.clip(pos, 0, P)]
+        return vals, pix
+    if _pallas_available() and C <= 128:
+        from mulactseg_tpu.ops.segment_pallas import (
+            LANES,
+            segment_max_pallas,
+        )
+
+        # The sorted row gather is LATENCY-bound (~13.5 ns/row measured,
+        # f32 == bf16 time), so the only lever is fewer rows. Superpixels
+        # are contiguous blobs: in raster order a block of 4 consecutive
+        # pixels usually has ONE sid, so per-pixel softmax probs (f32 —
+        # exact reference numerics) are pre-reduced per raster block:
+        # row 4i holds the per-class max over the block's rows that share
+        # sid[4i] (choice index saved for argmax mapping), rows that
+        # matched are retired to the invalid bucket, rows with other sids
+        # stay as themselves. The stable sid-sort then sends retired rows
+        # to the trailing bucket the chunked gather already skips —
+        # typically >2.5x fewer gathered rows. First-max tie-break is
+        # preserved: argmax over the block picks the lowest offset, and
+        # block rows keep raster order under the stable sort.
+        from mulactseg_tpu.ops.segment_pallas import (
+            PRE_CHUNK,
+            prereduce_softmax_blocks,
+        )
+
+        R = _BLOCK
+        P_r = (P + PRE_CHUNK - 1) // PRE_CHUNK * PRE_CHUNK
+        lg = scaled_logits
+        if P_r != P:
+            lg = jnp.pad(lg, ((0, P_r - P), (0, 0)))
+            sid = jnp.pad(sid, (0, P_r - P), constant_values=num_segments)
+        # one-pass Pallas kernel: softmax + same-sid block merge + lane
+        # pad (bf16 out — the old path gathered bf16 scaled logits, so
+        # rounding precision is unchanged). The same chain in XLA costs
+        # ~8 ms/step in separate materialized passes.
+        v, choice = prereduce_softmax_blocks(lg.astype(jnp.float32), sid, R,
+                                             num_segments,
+                                             interpret=_pallas_interpret())
+        sb = sid.reshape(P_r // R, R)
+        eq = sb == sb[:, :1]
+        col0s = (jnp.arange(R, dtype=jnp.int32) == 0)[None, :]
+        sid2 = jnp.where(col0s, sb,
+                         jnp.where(eq, num_segments, sb)).reshape(P_r)
+
+        ctx = seg_context(sid2, num_segments)
+        v = jax.lax.optimization_barrier(v)
+        # Sorted order puts every retired/invalid row in a trailing
+        # bucket; gather in chunks and skip chunks entirely inside it.
+        # One extra all-zero chunk gives the run-walking kernel its DMA
+        # overrun margin, so the scan output feeds it with NO slice/pad
+        # copy in between.
+        CH = 65536
+        n_valid = ctx.ends[-1]
+        P_pad = (P_r + CH - 1) // CH * CH + CH
+        order_p = jnp.pad(ctx.order, (0, P_pad - P_r))
+
+        def gather_chunk(c, _):
+            base = c * CH
+            idx = jax.lax.dynamic_slice(order_p, (base,), (CH,))
+            blk = jax.lax.cond(
+                base < n_valid,
+                lambda: jnp.take(v, idx, axis=0),
+                lambda: jnp.zeros((CH, v.shape[1]), v.dtype))
+            return c + 1, blk
+
+        _, g = jax.lax.scan(gather_chunk, 0, None, length=P_pad // CH)
+        g = g.reshape(P_pad, v.shape[1])
+        vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0,
+                                       interpret=_pallas_interpret(),
+                                       pre_padded=True)
+        vals, pos = vals[:, :C], pos[:, :C]
+        order_pad = jnp.concatenate(
+            [ctx.order.astype(jnp.int32), jnp.full((1,), P_r, jnp.int32)])
+        pix2 = order_pad[jnp.clip(pos, 0, P_r)]  # pre-reduced row index
+        # map merged rows back to the winning original pixel via the
+        # saved per-class choice
+        blk_i = pix2 // R
+        off = pix2 % R
+        csel = jnp.take(
+            choice.reshape(-1).astype(jnp.int32),
+            jnp.clip(blk_i, 0, P_r // R - 1) * C +
+            jnp.arange(C, dtype=jnp.int32)[None, :])
+        pix = jnp.where(pix2 >= P_r, P,
+                        jnp.where(off == 0, blk_i * R + csel, pix2))
+        pix = jnp.minimum(pix, P)
         return vals, pix
     # CPU / fallback: dense softmax + scan-based segment max
     probs = jax.nn.softmax(scaled_logits.astype(jnp.float32), axis=-1)
@@ -412,7 +514,7 @@ def _ssm_impl(scaled_logits, sid, num_segments):
 
 def _ssm_fwd(scaled_logits, sid, num_segments):
     vals, pix = _ssm_impl(scaled_logits, sid, num_segments)
-    return (vals, pix), (scaled_logits, pix)
+    return (vals, pix), (scaled_logits, vals, pix)
 
 
 def _ssm_bwd(num_segments, res, cts):
@@ -422,16 +524,15 @@ def _ssm_bwd(num_segments, res, cts):
     index (pix, c) — these are unique by construction since a pixel
     belongs to one segment — and (b) a rank-1 term -w[p] * softmax(u[p])
     with w from a second scalar scatter, applied as one dense fused
-    elementwise pass."""
+    elementwise pass. p_c IS the forward's max value (vals), so no row
+    gather is needed (the (S*C,) 80-byte-row gather was ~5 ms/step)."""
     g, _ = cts  # (S, C) cotangent of the max probs
-    scaled_logits, pix = res
+    scaled_logits, vals, pix = res
     P, C = scaled_logits.shape
     flat_pix = pix.reshape(-1)
     safe = jnp.clip(flat_pix, 0, P - 1)
-    rows = jnp.take(scaled_logits.astype(jnp.float32), safe, axis=0)  # (S*C, C)
-    p = jax.nn.softmax(rows, axis=-1)
     cls = jnp.tile(jnp.arange(C, dtype=jnp.int32), pix.shape[0])
-    p_c = jnp.take_along_axis(p, cls[:, None], axis=1)[:, 0]
+    p_c = vals.reshape(-1)
     live = (flat_pix < P) & (g.reshape(-1) != 0.0)
     coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
     tgt = jnp.where(live, safe, P)  # dead entries -> dump row P

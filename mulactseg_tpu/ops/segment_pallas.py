@@ -55,7 +55,7 @@ def _kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk, sem,
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (CHUNK, LANES), 0) + base
             valid = (rows >= st) & (rows < en)
-            v = jnp.where(valid, chunk[:], -jnp.inf)
+            v = jnp.where(valid, chunk[:].astype(jnp.float32), -jnp.inf)
             cmax = jnp.max(v, axis=0, keepdims=True)              # (1, LANES)
             hit = v == cmax
             cidx = jnp.min(jnp.where(hit & valid, rows, P), axis=0,
@@ -218,21 +218,24 @@ def segment_softmax_max_pallas(g_sorted: jax.Array, starts: jax.Array,
     return _run_segment_kernel(kern, g_sorted, starts, ends, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("fill", "interpret"))
+@functools.partial(jax.jit, static_argnames=("fill", "interpret",
+                                             "pre_padded"))
 def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
                        ends: jax.Array, fill: float = 0.0,
-                       interpret: bool = False):
-    """g_sorted: (P, C<=128) f32 values in segment-sorted order.
+                       interpret: bool = False, pre_padded: bool = False):
+    """g_sorted: (P, C<=128) f32/bf16 values in segment-sorted order.
     starts/ends: (S,) int32 run ranges. Returns ((S, C) max, (S, C)
-    argpos-in-sorted-order)."""
+    argpos-in-sorted-order). pre_padded: caller guarantees 128 lanes AND
+    >= CHUNK+8 rows of slack past the last run (skips two full-array
+    copies on the hot path)."""
     P, C = g_sorted.shape
     S = starts.shape[0]
     g = g_sorted
-    if C < LANES:
-        g = jnp.pad(g, ((0, 0), (0, LANES - C)), constant_values=0.0)
-    # pad rows so chunked DMAs past the last run stay in bounds
-    g = jnp.pad(g, ((0, CHUNK + 8), (0, 0)), constant_values=0.0)
-    # (callers on the hot path pre-pad to LANES so the pad above is free)
+    if not pre_padded:
+        if C < LANES:
+            g = jnp.pad(g, ((0, 0), (0, LANES - C)), constant_values=0.0)
+        # pad rows so chunked DMAs past the last run stay in bounds
+        g = jnp.pad(g, ((0, CHUNK + 8), (0, 0)), constant_values=0.0)
     S_pad = (-S) % SEGS_PER_BLOCK
     if S_pad:
         starts = jnp.pad(starts, (0, S_pad))
@@ -249,7 +252,7 @@ def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((CHUNK, LANES), g.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -261,6 +264,70 @@ def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
             jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(starts.astype(jnp.int32), ends.astype(jnp.int32),
-      g.astype(jnp.float32))
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32), g)
     return out_val[:S, :C], out_idx[:S, :C]
+
+
+# ---------------------------------------------------------------------------
+# Raster-block pre-reduction kernel (see ops/segment._ssm_impl): softmax +
+# same-sid block merge + lane pad in ONE pass. The equivalent XLA chain
+# materializes probs / masked / selected arrays separately (~8 ms/step at
+# stage-1 shapes); this kernel reads the scaled logits once and writes the
+# padded bf16 gather source + the per-block argmax choice.
+# ---------------------------------------------------------------------------
+
+PRE_CHUNK = 2048
+
+
+def _prereduce_kernel(lg_ref, sid_ref, out_v, out_choice, *, C, R,
+                      num_segments):
+    lg = lg_ref[...].astype(jnp.float32)          # (CH, C)
+    s = sid_ref[...]                              # (CH, 1) int32
+    CH = lg.shape[0]
+    m = jnp.max(lg, axis=1, keepdims=True)
+    e = jnp.exp(lg - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)     # per-pixel softmax
+    pb = p.reshape(CH // R, R, C)
+    sb = s.reshape(CH // R, R)
+    eq = sb == sb[:, :1]                          # col 0 always True
+    vm = jnp.where(eq[..., None], pb, -1.0)
+    merged = jnp.max(vm, axis=1)                  # (CH/R, C)
+    choice = jnp.argmax(vm, axis=1)               # first max
+    col0 = (jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1) == 0)
+    v2 = jnp.where(col0, merged[:, None, :], pb).reshape(CH, C)
+    out_v[:, :C] = v2.astype(out_v.dtype)
+    out_v[:, C:] = jnp.zeros((CH, LANES - C), out_v.dtype)
+    out_choice[...] = choice.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "num_segments",
+                                             "interpret"))
+def prereduce_softmax_blocks(scaled_logits, sid, R: int, num_segments: int,
+                             interpret: bool = False):
+    """(P, C<=128) f32 scaled logits + (P,) sid -> ((P, 128) bf16 padded
+    per-pixel softmax probs with row 4i holding the per-class max over the
+    block rows sharing sid[4i], (P/R, C) int32 per-class winning offset).
+    P must be a multiple of R*PRE_CHUNK-compatible padding (caller pads)."""
+    P, C = scaled_logits.shape
+    assert P % PRE_CHUNK == 0, P
+    sid2d = sid.reshape(P, 1).astype(jnp.int32)
+    grid = (P // PRE_CHUNK,)
+    out_v, out_choice = pl.pallas_call(
+        functools.partial(_prereduce_kernel, C=C, R=R,
+                          num_segments=num_segments),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((PRE_CHUNK, C), lambda b: (b, 0)),
+            pl.BlockSpec((PRE_CHUNK, 1), lambda b: (b, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((PRE_CHUNK, LANES), lambda b: (b, 0)),
+            pl.BlockSpec((PRE_CHUNK // R, C), lambda b: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((P, LANES), jnp.bfloat16),
+            jax.ShapeDtypeStruct((P // R, C), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scaled_logits, sid2d)
+    return out_v, out_choice

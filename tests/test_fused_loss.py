@@ -154,3 +154,54 @@ def test_pixel_partial_ce_pallas_interpret():
     # saturated-softmax rows (pos ~ 1.0 at temp 0.1): allow ~3e-6 absolute
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=5e-3, atol=1e-5)
+
+
+def test_ssm_block_prereduction_parity():
+    """The raster-block pre-reduction inside the pallas _ssm_impl path
+    (ops/segment.py _BLOCK) must match the CPU fallback exactly: same max
+    probs AND the same first-max argmax pixel, on data with realistic
+    run structure (contiguous same-sid spans) plus deliberate ties."""
+    import os
+    import subprocess
+    import sys
+
+    code = r"""
+import os
+os.environ["MULACTSEG_FORCE_PALLAS_INTERPRET"] = "1"
+os.environ["MULACTSEG_SSM_PREREDUCE"] = "1"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+import numpy as np
+from mulactseg_tpu.ops.segment import _ssm_impl, seg_context, seg_max_argmax
+
+rng = np.random.RandomState(0)
+S = 9
+# contiguous runs of random lengths + invalid spans
+sid_list = []
+while len(sid_list) < 301:
+    s = rng.randint(0, S + 1)  # S == invalid marker
+    sid_list += [s] * rng.randint(1, 9)
+sid = np.array(sid_list[:301], np.int32)
+x = rng.randn(301, 6).astype(np.float32)
+x[5] = x[6]  # tie inside one block
+x[40] = x[44]  # tie across blocks
+
+got_v, got_pix = _ssm_impl(jnp.asarray(x), jnp.asarray(sid), S)
+
+probs = jax.nn.softmax(jnp.asarray(x), axis=-1)
+ctx = seg_context(jnp.asarray(sid), S)
+want_v, want_pix = seg_max_argmax(ctx, probs, fill=0.0)
+
+# max probs are carried through the gather stream in bf16 (as the old
+# in-kernel-softmax path carried bf16 scaled logits) -> bf16 tolerance
+np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                           rtol=5e-3, atol=5e-3)
+np.testing.assert_array_equal(np.asarray(got_pix), np.asarray(want_pix))
+print("SSM_PARITY_OK")
+"""
+    env = dict(os.environ)
+    env.pop("MULACTSEG_NO_PALLAS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert "SSM_PARITY_OK" in out.stdout, out.stdout + out.stderr
