@@ -38,7 +38,11 @@ def pixel_target_bits(target: np.ndarray, spx: np.ndarray,
     assert C <= 31, C
     weights = (1 << np.arange(C, dtype=np.int64))
     seg_bits = ((target > 0.5).astype(np.int64) * weights).sum(-1)
-    return (seg_bits[spx] * spmask).astype(np.int32)
+    # crop padding writes nseg into the spx map (transform.py:62 pad
+    # convention); those pixels are never selected, so clip the lookup
+    # and let the spmask zero them
+    spx_c = np.minimum(spx, seg_bits.shape[0] - 1)
+    return (seg_bits[spx_c] * spmask).astype(np.int32)
 
 
 def pixel_target_bits_jnp(target, spx, spmask):

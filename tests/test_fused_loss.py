@@ -205,3 +205,18 @@ print("SSM_PARITY_OK")
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=600)
     assert "SSM_PARITY_OK" in out.stdout, out.stdout + out.stderr
+
+
+def test_pixel_target_bits_handles_pad_ids():
+    """Crop padding writes spx == nseg (transform.py:62); the packer must
+    not crash and padded pixels must pack to 0."""
+    import numpy as np
+
+    from mulactseg_tpu.losses.fused import pixel_target_bits
+
+    target = np.eye(4, 5, dtype=np.float32)  # 4 superpixels, 5 classes
+    spx = np.array([[0, 1], [4, 4]], np.int32)  # 4 == nseg pad value
+    spmask = np.array([[True, True], [False, False]])
+    bits = pixel_target_bits(target, spx, spmask)
+    assert bits[0, 0] == 1 and bits[0, 1] == 2
+    assert (bits[1] == 0).all()
