@@ -62,8 +62,8 @@ def build_active_datasets(cfg):
     # (region_cityscapes_or_tensor_{tinyfilter,ratiofilter,ratiosample,
     # dominantsample,toponebase}_gt.py)
     mh_transform = None
-    for key in ("tinyfilter", "ratiofilter", "ratiosample",
-                "dominantsample", "toponebase"):
+    for key in ("tinyfilter_recommend", "tinyfilter", "ratiofilter",
+                "ratiosample", "dominantsample", "toponebase"):
         if key in cfg.loader:
             mh_transform = key
             break
@@ -75,7 +75,8 @@ def build_active_datasets(cfg):
                             cfg.method.endswith("_mseg"),
                             async_views="async" in cfg.loader,
                             weak_size=weak_size,
-                            multihot_transform=mh_transform)
+                            multihot_transform=mh_transform,
+                            oracle_labels="oracle" in cfg.loader)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,

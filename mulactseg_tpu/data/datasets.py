@@ -124,7 +124,8 @@ class RegionDatasetOr:
                  async_views: bool = False,
                  weak_size: Optional[tuple] = None,
                  multihot_transform: Optional[str] = None,
-                 sp_gt_size: Optional[np.ndarray] = None):
+                 sp_gt_size: Optional[np.ndarray] = None,
+                 oracle_labels: bool = False):
         # load_smaller_spx: also load the finer superpixel map by path
         # substitution seeds_{nseg} -> seeds_{small_nseg}
         # (region_cityscapes_or_tensor.py:76-80); async_views: add an
@@ -140,7 +141,11 @@ class RegionDatasetOr:
         # the _ignore loader variant removes GT==255 pixels from spmask
         # (region_cityscapes_or_tensor_ignore.py:49-51)
         self.ignore_gt_in_spmask = ignore_gt_in_spmask
-        self.load_gt = load_gt or ignore_gt_in_spmask
+        # oracle loaders train on precise GT inside the selected
+        # superpixels: 255-inside -> the extra class, unselected -> 255
+        # (region_cityscapes_or_oracle.py:29-45)
+        self.oracle_labels = oracle_labels
+        self.load_gt = load_gt or ignore_gt_in_spmask or oracle_labels
         region = load_region_dict(region_dict)
         self.im_idx: List[List[str]] = []
         self.suppix: Dict[str, List[int]] = {}
@@ -239,7 +244,14 @@ class RegionDatasetOr:
         if spx_small is not None:
             sample["spx_small"] = labels[idx].astype(np.int32)
         if gt is not None:
-            sample["labels"] = gt_t
+            if self.oracle_labels:
+                inside = np.where(gt_t == self.cfg.ignore_idx,
+                                  self.cfg.num_classes, gt_t)
+                sample["labels"] = np.where(spmask, inside,
+                                            self.cfg.ignore_idx).astype(
+                                                np.int32)
+            else:
+                sample["labels"] = gt_t
         if self.async_views:
             weak_tf = PairedTransform(resize_to=self.weak_size)
             wl = ([raw["gt"]] if raw["gt"] is not None else []) +                 [raw["spx"]] +                 ([raw["spx_small"]] if raw["spx_small"] is not None else [])

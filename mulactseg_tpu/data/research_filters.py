@@ -42,6 +42,23 @@ def tinyfilter(multi_hot: np.ndarray, gt_sizes: np.ndarray,
     return flat.reshape(n, s, c)
 
 
+def tinyfilter_recommend(multi_hot: np.ndarray, gt_sizes: np.ndarray,
+                         filter_size: int) -> np.ndarray:
+    """Like tinyfilter, but small classes are dropped only in superpixels
+    that would end up (near-)single-class anyway — fewer than 2 classes
+    above the size threshold
+    (region_cityscapes_or_tensor_tinyfilter_recommend_gt.py:33-58)."""
+    small = gt_sizes < filter_size
+    dominant = (~small).sum(-1) < 2
+    out = np.where(small & dominant[..., None], 0, multi_hot).astype(
+        multi_hot.dtype)
+    n, s, c = gt_sizes.shape
+    flat = out.reshape(-1, c)
+    top = gt_sizes.reshape(-1, c).argmax(1)
+    flat[np.arange(n * s), top] = 1
+    return flat.reshape(n, s, c)
+
+
 def ratiofilter(multi_hot: np.ndarray, gt_sizes: np.ndarray,
                 filter_ratio: float) -> np.ndarray:
     """Drop candidate classes whose within-superpixel GT share is below
@@ -109,6 +126,9 @@ def apply_multihot_transform(name: str, multi_hot: np.ndarray,
                              gt_sizes: np.ndarray, cfg,
                              seed: int = 0) -> np.ndarray:
     rng = np.random.RandomState(seed)
+    if name == "tinyfilter_recommend":
+        return tinyfilter_recommend(multi_hot, gt_sizes,
+                                    cfg.multihot_filter_size)
     if name == "tinyfilter":
         return tinyfilter(multi_hot, gt_sizes, cfg.multihot_filter_size)
     if name == "ratiofilter":

@@ -535,10 +535,12 @@ def _ssm_bwd(num_segments, res, cts):
     p_c = vals.reshape(-1)
     live = (flat_pix < P) & (g.reshape(-1) != 0.0)
     coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
-    tgt = jnp.where(live, safe, P)  # dead entries -> dump row P
-    dl_elem = jnp.zeros(((P + 1) * C,), jnp.float32).at[
-        tgt * C + cls].add(coef).reshape(P + 1, C)[:P]
-    w = jnp.zeros((P + 1,), jnp.float32).at[tgt].add(coef)[:P]
+    tgt = jnp.where(live, safe, P)  # dead entries -> OOB, dropped
+    # element indices are unique (a pixel belongs to one segment, one
+    # entry per class); OOB drop avoids a (P+1)-row buffer + slice copy
+    dl_elem = jnp.zeros((P * C,), jnp.float32).at[tgt * C + cls].add(
+        coef, mode="drop", unique_indices=True).reshape(P, C)
+    w = jnp.zeros((P,), jnp.float32).at[tgt].add(coef, mode="drop")
     dl = dl_elem - w[:, None] * jax.nn.softmax(
         scaled_logits.astype(jnp.float32), axis=-1)
     return dl.astype(scaled_logits.dtype), None

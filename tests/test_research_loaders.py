@@ -157,3 +157,60 @@ def test_encode_synthia():
     out = encode_synthia(raw)
     # syn_id_to_train_id: 3->0, 1->10, 0->255, 21->3, 34->255, oob->255
     assert out.tolist() == [[0, 10, 255], [3, 255, 255]]
+
+
+def test_tinyfilter_recommend_parity(fixture):
+    from mulactseg_tpu.data.research_filters import tinyfilter_recommend
+
+    mh, sizes = fixture
+    got = tinyfilter_recommend(mh, sizes, filter_size=20)
+    # transcription of tinyfilter_recommend_gt.py:33-58
+    small = sizes < 20
+    dominant = np.logical_not(small).sum(-1) < 2
+    want = np.where(small & dominant[..., None], 0, mh)
+    flat = want.reshape(-1, C).copy()
+    top = sizes.reshape(-1, C).argmax(1)
+    flat[np.arange(N * S), top] = 1
+    assert (got == flat.reshape(N, S, C)).all()
+
+
+def test_oracle_labels_masking(tmp_path):
+    """region_cityscapes_or_oracle.py:29-45: GT inside selected spx with
+    255 -> extra class, everything unselected -> 255."""
+    import json
+    import pickle
+
+    from PIL import Image
+
+    from mulactseg_tpu.config import Config
+    from mulactseg_tpu.data.datasets import RegionDatasetOr, encode_identity
+    from mulactseg_tpu.data.synthetic import grid_superpixels
+
+    rng = np.random.RandomState(0)
+    H = W = 12
+    root = tmp_path
+    spx = grid_superpixels(H, W, S)
+    gt = rng.randint(0, C, (H, W)).astype(np.uint8)
+    gt[0, 0] = 255
+    Image.fromarray(rng.randint(0, 255, (H, W, 3), np.uint8)).save(
+        root / "img_0.png")
+    Image.fromarray(gt).save(root / "lbl_0.png")
+    with open(root / "spx_0.pkl", "wb") as f:
+        pickle.dump({"labels": spx}, f)
+    (root / "train.txt").write_text("img_0.png\tlbl_0.png\tspx_0.pkl")
+    (root / "train.dict").write_text(json.dumps({"spx_0.pkl": [S, []]}))
+
+    mh = np.ones((1, S, C + 1), np.uint8)
+    cfg = Config(num_classes=C, nseg=S, data_root=str(root),
+                 label_encoding="identity")
+    ds = RegionDatasetOr(cfg, str(root / "train.txt"),
+                         str(root / "train.dict"), split="active-label",
+                         multi_hot_cls=mh, oracle_labels=True,
+                         encode_fn=encode_identity)
+    ds.suppix = {str(root / "spx_0.pkl"): [0, 2]}
+    s = ds[0]
+    sel = np.isin(spx, [0, 2])
+    assert (s["labels"][~sel] == 255).all()
+    inside = s["labels"][sel]
+    want = np.where(gt == 255, C, gt)[sel]
+    assert (inside == want).all()
