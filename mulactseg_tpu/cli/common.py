@@ -144,5 +144,9 @@ def setup_run(cfg):
     seed_everything(cfg.seed)
     os.makedirs(cfg.model_save_dir, exist_ok=True)
     logger = get_file_logger(cfg.model_save_dir)
-    sink = MetricsSink(cfg.model_save_dir)
+    # --dontlog turns the wandb mirror off (train_AL.py:102-108 wandb
+    # dryrun); the JSONL sink is always on
+    sink = MetricsSink(cfg.model_save_dir,
+                       use_wandb=cfg.use_wandb and not cfg.dontlog,
+                       wandb_kwargs={"name": cfg.session_name or None})
     return logger, sink

@@ -117,6 +117,11 @@ class Config:
     resume_checkpoint: str = ""
     datalist_path: str = ""
 
+    # --- logging (wandb flags, utils/common.py:345-350) ----------------------
+    use_wandb: bool = False
+    dontlog: bool = False        # reference --dontlog: wandb dryrun/no-op
+    session_name: str = ""
+
     # --- system ---------------------------------------------------------------
     steps_per_dispatch: int = 1   # >1: device-side lax.scan over K steps
     seed: int = 0
