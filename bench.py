@@ -45,7 +45,10 @@ BATCH = 4
 H = W = 768
 NSEG = 2048
 NUM_CLASSES = 19  # +1 undefined
-K = 8  # steps per dispatch
+# steps per dispatch: the tunnel costs ~75 ms per (non-pipelining)
+# dispatch, so K amortizes a real production knob (steps_per_dispatch);
+# K=32 puts the residual dispatch overhead at ~2 ms/step
+K = 32
 
 
 def main():
@@ -98,7 +101,7 @@ def main():
     state, auxs = run(state, super_batch, k)
     _ = float(auxs["train_loss"][-1])  # forced fetch = real sync
 
-    dispatches = 4
+    dispatches = 2
     t0 = time.perf_counter()
     for _ in range(dispatches):
         key, k = jax.random.split(key)

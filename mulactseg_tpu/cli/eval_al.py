@@ -25,6 +25,11 @@ from mulactseg_tpu.plbl.generator import PseudoLabelGenerator, plbl_save_dir
 def main(argv=None):
     cfg = parse_config(argv)
     logger, sink = setup_run(cfg)
+    from mulactseg_tpu.plbl.generator import METHOD_TO_PLBL
+
+    if not cfg.plbl_type and cfg.method in METHOD_TO_PLBL:
+        # reference command-line compatibility: --method eval_save_*
+        cfg.plbl_type = METHOD_TO_PLBL[cfg.method]
     active_set, val = build_active_datasets(cfg)
     trainer = ALTrainer(cfg, cfg.init_iteration, val_dataset=val,
                         eval_dataset=val)
@@ -85,7 +90,8 @@ def main(argv=None):
                               infinite=False, num_workers=cfg.val_num_workers)
         gen = PseudoLabelGenerator(trainer.model, cfg,
                                    plbl_type=cfg.plbl_type,
-                                   use_tta=cfg.dataset == "voc")
+                                   use_tta=cfg.dataset == "voc" or
+                                   cfg.method.endswith("_ms"))
         round_id = f"{cfg.init_iteration:02d}"
         save_dir = plbl_save_dir(
             cfg.resume_checkpoint or os.path.join(cfg.model_save_dir, "x"),

@@ -133,8 +133,14 @@ class Config:
     @property
     def num_model_classes(self) -> int:
         """predignore methods add one 'undefined' output class
-        (trainer/active_joint_multi_predignore.py:139-144)."""
+        (trainer/active_joint_multi_predignore.py:139-144); the eval /
+        plbl-generation trainers do too on non-VOC datasets
+        (eval_naive.py:18-23, eval_save_cosplbl_prop.py get_al_model),
+        while their *_voc twins keep the plain 21-class model."""
         if "predignore" in self.method:
+            return self.num_classes + 1
+        if self.method.startswith("eval") and "_voc" not in self.method \
+                and self.dataset != "voc":
             return self.num_classes + 1
         return self.num_classes
 

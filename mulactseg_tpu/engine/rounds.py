@@ -59,9 +59,14 @@ class ALTrainer:
         self.state = create_train_state(
             self.model, cfg, init_rng,
             (cfg.train_batch_size, h, w, 3), total_itrs=cfg.finetune_itrs)
-        self.train_step = make_train_step(self.model, cfg)
+        from mulactseg_tpu.engine.train import CRITERIA
+
+        # eval-only methods (eval_save_* / analysis eval_*) have no
+        # training criterion; the trainer still serves model/eval/plbl
+        self.train_step = (make_train_step(self.model, cfg)
+                           if cfg.method in CRITERIA else None)
         self._scan_step = None
-        if cfg.steps_per_dispatch > 1:
+        if cfg.steps_per_dispatch > 1 and self.train_step is not None:
             from mulactseg_tpu.engine.train import make_train_step_scan
 
             self._scan_step = make_train_step_scan(
@@ -137,6 +142,9 @@ class ALTrainer:
               log_every: int = 100,
               metrics_cb: Optional[Callable[[int, Dict], None]] = None):
         cfg = self.cfg
+        if self.train_step is None:
+            raise RuntimeError(
+                f"method {cfg.method!r} is eval-only (no training criterion)")
         total_itrs = total_itrs or cfg.finetune_itrs
         val_period = val_period or cfg.val_period
         trainset = active_set.get_trainset()

@@ -70,6 +70,32 @@ PLBL_TYPES = tuple(sorted(_COS_TYPES)) + (
     "naive_argmax", "naive", "within_multihot", "candidate",
     "candidate_prop")
 
+# reference trainer-module names -> plbl types, so the original
+# `eval_AL.py --method eval_save_*` command lines keep working
+# (cli/eval_al.py resolves cfg.method through this; `_ms` suffixes turn
+# on the 10-view TTA, `_voc` is implied by --dataset voc)
+METHOD_TO_PLBL = {
+    "eval_save_cosplbl_prop": "cosprop",
+    "eval_save_cosplbl_prop_includeonehot": "cosprop_includeonehot",
+    "eval_save_cosplbl_prop_includeonehot_slide": "cosprop_includeonehot_slide",
+    "eval_save_cosplbl_prop_includeonehot_voc": "cosprop_includeonehot",
+    "eval_save_cosplbl_prop_includeonehot_voc_ms": "cosprop_includeonehot",
+    "eval_save_cosplbl_naive_voc": "naive_argmax",
+    "eval_save_cosplbl_naive_voc_ms": "naive_argmax",
+    "eval_save_naiveplbl": "naive",
+    "eval_save_plbl": "cosplbl",
+    "eval_save_cosplbl": "cosplbl",
+    "eval_save_cosplbl_filtgt": "cosplbl_filtgt",
+    "eval_save_cosplbl_naiveprop": "cos_naiveprop",
+    "eval_save_cosplbl_prop_filtered": "cosprop_filtered",
+    "eval_save_cosplbl_prop_onehot": "cosprop_onehot",
+    "eval_save_cosplbl_prop_onehotignore": "cosprop_onehotignore",
+    "eval_save_cosplbl_prop_plusonehot": "cosprop_plusonehot",
+    "eval_save_cosplbl_prop_withinspx": "cos_withinspx",
+    "eval_save_candidateplbl": "candidate",
+    "eval_save_candidateplbl_prop": "candidate_prop",
+}
+
 
 class PseudoLabelGenerator:
     def __init__(self, model, cfg, plbl_type: str = "cosprop_includeonehot",

@@ -105,3 +105,27 @@ def test_plbl_generator_end_to_end(tmp_path):
     assert len(files) == 2 and all(f.endswith(".png") for f in files)
     assert plbl_save_dir("/x/checkpoint00.tar", "cosprop", "00").endswith(
         "plbl_gen_cosprop/round_00")
+
+
+def test_method_to_plbl_aliases_complete():
+    """Every reference eval_save_* trainer module name resolves to a
+    registered plbl type (trainer/ directory listing, SURVEY.md 2e)."""
+    from mulactseg_tpu.plbl.generator import METHOD_TO_PLBL, PLBL_TYPES
+
+    ref_files = [
+        "eval_save_candidateplbl", "eval_save_candidateplbl_prop",
+        "eval_save_cosplbl", "eval_save_cosplbl_filtgt",
+        "eval_save_cosplbl_naive_voc", "eval_save_cosplbl_naive_voc_ms",
+        "eval_save_cosplbl_naiveprop", "eval_save_cosplbl_prop",
+        "eval_save_cosplbl_prop_filtered",
+        "eval_save_cosplbl_prop_includeonehot",
+        "eval_save_cosplbl_prop_includeonehot_slide",
+        "eval_save_cosplbl_prop_includeonehot_voc",
+        "eval_save_cosplbl_prop_includeonehot_voc_ms",
+        "eval_save_cosplbl_prop_onehot", "eval_save_cosplbl_prop_onehotignore",
+        "eval_save_cosplbl_prop_plusonehot", "eval_save_cosplbl_prop_withinspx",
+        "eval_save_naiveplbl", "eval_save_plbl",
+    ]
+    for name in ref_files:
+        assert name in METHOD_TO_PLBL, name
+        assert METHOD_TO_PLBL[name] in PLBL_TYPES, name
