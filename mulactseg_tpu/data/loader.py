@@ -63,6 +63,14 @@ class DataProvider:
                 self.rng.shuffle(idx)
             stop = len(idx) - (len(idx) % self.batch_size) if self.drop_last \
                 else len(idx)
+            if stop == 0 and self.infinite:
+                # dataset smaller than the batch (e.g. the first AL round
+                # selected superpixels from a single image): sample with
+                # replacement instead of spinning through empty epochs
+                # forever
+                yield self.rng.choice(len(self.dataset), self.batch_size,
+                                      replace=True)
+                continue
             for i in range(0, stop, self.batch_size):
                 yield idx[i:i + self.batch_size]
             if not self.infinite:

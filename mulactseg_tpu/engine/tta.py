@@ -25,9 +25,13 @@ def _resize(x, H, W):
 
 
 def tta_feat_forward(model, params, batch_stats, images,
-                     scales: Sequence[float] = TTA_SCALES):
+                     scales: Sequence[float] = None):
     """images (B,H,W,3). Returns (feat (B,H,W,Ch) re-normalized,
-    logits (B,H,W,C)) averaged over scales x flips."""
+    logits (B,H,W,C)) averaged over scales x flips. scales=None reads
+    the module-level TTA_SCALES at call time (tests shrink it — each
+    scale is a distinct compile)."""
+    if scales is None:
+        scales = TTA_SCALES
     B, H, W, _ = images.shape
     feat_sum = None
     logit_sum = None

@@ -24,11 +24,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# this jax build ignores the JAX_COMPILATION_CACHE_DIR env var too — only
-# the config knobs initialize the persistent compile cache (verified via
-# jax._src.compilation_cache debug logs); without these the whole suite
-# recompiles every run (~28 min vs ~? with cache hits)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# DO NOT enable the persistent compile cache here. This jax build ignores
+# the JAX_COMPILATION_CACHE_DIR env var (only the config knobs work), but
+# enabling it for the CPU backend is a trap: the cached XLA:CPU AOT
+# executables record machine features (+prefer-no-scatter/+prefer-no-
+# gather) that fail the host feature check on reload — XLA warns about
+# SIGILL and loaded programs were observed to HANG (tests stuck in
+# ALTrainer construction for 9+ min). TPU-side scripts (bench.py,
+# tools_dev/*) keep the knobs — the TPU cache serializes portable
+# executables and works.

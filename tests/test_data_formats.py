@@ -206,3 +206,23 @@ def test_async_and_small_spx_disk_loader(disk_fixture, tmp_path):
     # weak spmask excludes GT-255 pixels
     assert not s["spmask_weak"][s["labels"] == 255].any()
     assert s["images_weak"].shape == (24, 24, 3)
+
+
+def test_dataprovider_tiny_dataset_no_hang():
+    """A labeled set smaller than the batch must not spin forever
+    (pre-fix: drop_last yielded zero batches and the infinite iterator
+    looped through empty epochs)."""
+    from mulactseg_tpu.data.loader import DataProvider
+
+    class One:
+        def __len__(self):
+            return 1
+
+        def __getitem__(self, i):
+            import numpy as np
+
+            return {"images": np.zeros((4, 4, 3), np.float32)}
+
+    dp = DataProvider(One(), batch_size=2, num_workers=1, prefetch=1)
+    b = next(iter(dp))
+    assert b["images"].shape[0] == 2  # sampled with replacement
