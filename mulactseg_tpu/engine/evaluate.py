@@ -33,10 +33,15 @@ class Evaluator:
                                         stride_rate=cfg.slide_stride_rate)
 
     def run(self, params, batch_stats, loader: Iterable, *,
-            predignore: Optional[bool] = None):
+            predignore: Optional[bool] = None, mesh=None):
         """loader yields dicts with 'images' (B,H,W,3 normalized float) and
         'labels' (B,H,W int). Returns (miou, iou_table_str) like
-        trainer/base.py:161-175."""
+        trainer/base.py:161-175.
+
+        mesh: optional device mesh — full-resolution eval images are then
+        SPATIALLY sharded (height axis) across the chips and GSPMD inserts
+        the conv halo exchanges; this is how batch-1 Cityscapes val
+        (1024x2048) scales past one chip."""
         cfg = self.cfg
         if predignore is None:
             predignore = "predignore" in cfg.method
@@ -45,12 +50,16 @@ class Evaluator:
         iou = MeanIoU(cfg.num_classes, cfg.ignore_idx)
         ign = IoUIgnore(cfg.num_classes, cfg.ignore_idx) if predignore else None
         for batch in loader:
+            images = jnp.asarray(batch["images"])
+            if mesh is not None and mesh.size > 1 and self._sliding is None:
+                from mulactseg_tpu.parallel.mesh import shard_spatial
+
+                images = shard_spatial(images, mesh)
             if self._sliding is not None:
                 logits = self._sliding(params, batch_stats,
                                        jnp.asarray(batch["images"]))
             else:
-                logits = self.step(params, batch_stats,
-                                   jnp.asarray(batch["images"]))
+                logits = self.step(params, batch_stats, images)
             labels = jnp.asarray(batch["labels"])
             if predignore:
                 preds_real = jnp.argmax(logits[..., :-1], axis=-1)

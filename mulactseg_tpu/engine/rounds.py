@@ -231,8 +231,14 @@ class ALTrainer:
         loader = DataProvider(self.eval_dataset, self.cfg.val_batch_size,
                               shuffle=False, drop_last=False, infinite=False,
                               num_workers=self.cfg.val_num_workers)
+        # batch-1 full-res eval shards the image height over the mesh
+        # (spatial partitioning; GSPMD halo exchange) — batch sharding is
+        # useless at val_batch_size 1
+        mesh = self.mesh if (self.mesh.size > 1 and
+                             self.cfg.val_batch_size == 1) else None
         miou, table = self.evaluator.run(self.state.params,
-                                         self.state.batch_stats, loader)
+                                         self.state.batch_stats, loader,
+                                         mesh=mesh)
         log.info("[AL %d-round eval] %s", self.selection_iter, table)
         return miou, table
 

@@ -76,3 +76,22 @@ def pad_to_multiple(x, multiple: int):
         return x, n
     pad = np_.repeat(np_.asarray(x[-1:]), rem, axis=0)
     return np_.concatenate([np_.asarray(x), pad], axis=0), n
+
+
+def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the image HEIGHT across the mesh for full-resolution
+    single-image eval (the reference evaluates Cityscapes val at
+    1024x2048, batch 1 — batch sharding is useless there). Under jit,
+    GSPMD inserts the halo exchanges the convolutions need
+    automatically; no manual collectives."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_spatial(batch_images, mesh: Mesh, axis: str = "data"):
+    """Place (B, H, W, C) images with H sharded over the mesh. H must
+    divide the mesh size; callers fall back to replication otherwise."""
+    import jax as _jax
+
+    if batch_images.shape[1] % mesh.size:
+        return _jax.device_put(batch_images, replicated_sharding(mesh))
+    return _jax.device_put(batch_images, spatial_sharding(mesh, axis))
