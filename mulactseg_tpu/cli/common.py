@@ -67,6 +67,10 @@ def build_active_datasets(cfg):
         if key in cfg.loader:
             mh_transform = key
             break
+    if mh_transform is None and "ratiofilt" in cfg.loader:
+        # eval_region_cityscapes_ratiofilt_all.py inherits the ratiofilter
+        # multi-hot rewrite under a shortened loader name
+        mh_transform = "ratiofilter"
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
                             encode_fn=encode,

@@ -36,6 +36,28 @@ def main(argv=None):
     if cfg.resume_checkpoint:
         trainer.load(cfg.resume_checkpoint)
 
+    if cfg.method == "active_joint_multi_analysis":
+        # top-1 selection accuracy over the labeled set
+        # (trainer/active_joint_multi_analysis.py:27-102; its train_impl
+        # raises NotImplementedError — eval only)
+        from mulactseg_tpu.engine.analysis import SelectionAccuracyEvaluator
+
+        if cfg.datalist_path:
+            active_set.selection_iter = cfg.init_iteration
+            active_set.load_datalist(cfg.datalist_path)
+        label_ds = active_set.trg_label_dataset
+        label_ds.load_gt = True  # the probe needs the precise GT map
+        loader = DataProvider(label_ds, cfg.train_batch_size, shuffle=False,
+                              drop_last=False, infinite=False,
+                              num_workers=cfg.val_num_workers)
+        evaluator = SelectionAccuracyEvaluator(trainer.model, cfg)
+        res = evaluator.run(trainer.state.params, trainer.state.batch_stats,
+                            loader, selection_iter=cfg.init_iteration,
+                            logger=logger)
+        sink.log({"top1_selection_acc": res["acc_total"],
+                  "round": cfg.init_iteration})
+        return res["acc_total"]
+
     from mulactseg_tpu.engine.analysis import ANALYSIS_METHODS
 
     if cfg.method in ANALYSIS_METHODS:
@@ -51,7 +73,12 @@ def main(argv=None):
                 raise SystemExit("eval_naive_vis needs a validation datalist")
             eval_ds = val
         else:
-            eval_ds = EvalRegionDatasetAll(cfg, label_ds, label_ds.suppix)
+            # analysis (non-eval_save) runs drop single-candidate
+            # superpixels (eval_region_cityscapes_all.py:18-24); the
+            # withinmulti loader additionally 255-masks GT outside spmask
+            eval_ds = EvalRegionDatasetAll(
+                cfg, label_ds, label_ds.suppix, remove_dominant=True,
+                mask_unselected="withinmulti" in cfg.loader)
         loader = DataProvider(eval_ds, 1, shuffle=False, drop_last=False,
                               infinite=False, num_workers=cfg.val_num_workers)
         prev_suppix = None
@@ -85,7 +112,11 @@ def main(argv=None):
             active_set.load_datalist(cfg.datalist_path)
         assert cfg.val_batch_size == 1 or True  # generator uses batch 1
         label_ds = active_set.trg_label_dataset
-        eval_all = EvalRegionDatasetAll(cfg, label_ds, label_ds.suppix)
+        # eval_save_* keeps dominant superpixels
+        # (eval_region_cityscapes_all.py:21-22)
+        eval_all = EvalRegionDatasetAll(
+            cfg, label_ds, label_ds.suppix,
+            mask_unselected="withinmulti" in cfg.loader)
         loader = DataProvider(eval_all, 1, shuffle=False, drop_last=False,
                               infinite=False, num_workers=cfg.val_num_workers)
         gen = PseudoLabelGenerator(trainer.model, cfg,

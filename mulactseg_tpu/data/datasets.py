@@ -400,14 +400,28 @@ class RegionDatasetMseg:
 
 
 class EvalRegionDatasetAll:
-    """Full-resolution loader for pseudo-label generation
+    """Full-resolution loader for pseudo-label generation and analysis
     (eval_region_cityscapes_all.py:10-69): precise GT with 255 mapped to
-    the extra class, identity transform, spmask over the labeled set."""
+    the extra class, identity transform, spmask over the labeled set.
 
-    def __init__(self, cfg, base: RegionDatasetOr, suppix: Dict[str, List[int]]):
+    remove_dominant reproduces the base loader's analysis-mode filter
+    (eval_region_cityscapes_all.py:18-24,52-57): superpixels whose
+    multi-hot annotation has exactly one candidate class are dropped from
+    spmask UNLESS the method is an eval_save_* (pseudo-label saving)
+    run. mask_unselected is the eval_region_cityscapes_withinmulti.py:61
+    variant: the precise GT is additionally 255-masked outside spmask.
+    The ratiofilt variant (eval_region_cityscapes_ratiofilt_all.py) needs
+    no option here — it only swaps the multi-hot source, which the base
+    dataset's `multihot_transform="ratiofilter"` already rewrote."""
+
+    def __init__(self, cfg, base: RegionDatasetOr, suppix: Dict[str, List[int]],
+                 *, remove_dominant: bool = False,
+                 mask_unselected: bool = False):
         self.cfg = cfg
         self.base = base
         self.suppix = suppix
+        self.remove_dominant = remove_dominant
+        self.mask_unselected = mask_unselected
         self.im_idx = sorted([k for k in base.im_idx if k[2] in suppix])
 
     def __len__(self):
@@ -423,7 +437,14 @@ class EvalRegionDatasetAll:
         target = np.asarray(
             self.base.multi_hot_cls[self.base._target_index(lbl_p)],
             np.float32)
-        spmask = np.isin(spx, self.suppix.get(spx_p, []))
+        selected = np.asarray(self.suppix.get(spx_p, []), np.int64)
+        if self.remove_dominant and selected.size:
+            # keep only multi-candidate superpixels
+            # (eval_region_cityscapes_all.py:52-57)
+            selected = selected[target[selected].sum(-1) != 1]
+        spmask = np.isin(spx, selected)
+        if self.mask_unselected:
+            gt = np.where(spmask, gt, self.cfg.ignore_idx).astype(np.int32)
         return {"images": image, "labels": gt, "spx": spx.astype(np.int32),
                 "spmask": spmask, "target": target,
                 "fnames": [img_p, lbl_p, spx_p]}

@@ -124,8 +124,12 @@ class AnalysisEvaluator:
         # (eval_naive_vis.py:47-48); plbl analyses use the C+1 metric
         iou = MeanIoU(cfg.num_classes if argmax_mode else cfg.num_classes + 1,
                       cfg.ignore_idx)
+        # Only slice off / separately score the 'undefined' head when the
+        # model actually has one (num_model_classes == C+1); VOC models
+        # keep the plain C-class head (config.num_model_classes).
+        has_undef_head = cfg.num_model_classes == cfg.num_classes + 1
         ignore_iou = None
-        if argmax_mode:
+        if argmax_mode and has_undef_head:
             from mulactseg_tpu.utils.metrics import IoUIgnore
 
             ignore_iou = IoUIgnore(cfg.num_classes, cfg.ignore_idx)
@@ -143,10 +147,12 @@ class AnalysisEvaluator:
                                          jnp.asarray(batch["images"]))
                 # conventional IoU over the C real classes
                 # (eval_naive_vis.py:70)
-                pred = np.asarray(jnp.argmax(logits[..., :-1], -1))
-                ignore_iou._after_step(
-                    {"outputs": np.asarray(jnp.argmax(logits, -1)),
-                     "targets": labels})
+                cls_logits = logits[..., :-1] if has_undef_head else logits
+                pred = np.asarray(jnp.argmax(cls_logits, -1))
+                if ignore_iou is not None:
+                    ignore_iou._after_step(
+                        {"outputs": np.asarray(jnp.argmax(logits, -1)),
+                         "targets": labels})
                 spx_map = None
             else:
                 plbl, spx_map = self.gen.plbl_for_batch(
@@ -200,3 +206,103 @@ def _decode(cfg, pred: np.ndarray) -> np.ndarray:
     if cfg.dataset == "voc":
         return voc_cmap()[np.clip(filled, 0, 255)].astype(np.uint8)
     return decode_cityscapes(filled)
+
+
+# ---------------------------------------------------------------------------
+# Top-1 selection accuracy (active_joint_multi_analysis)
+# ---------------------------------------------------------------------------
+
+import functools
+
+from mulactseg_tpu.ops.segment import scatter_max
+
+
+@functools.partial(jax.jit, static_argnames=("nseg", "num_classes"))
+def top1_selection_counts(logits, multihot, spx, spmask, gt, *,
+                          nseg: int, num_classes: int):
+    """Per-batch counts for the top-1 selection-accuracy probe
+    (trainer/active_joint_multi_analysis.py:27-102).
+
+    For every labeled superpixel s and every candidate class c in its
+    multi-hot annotation, find the pixel with the highest softmax
+    probability of c inside s; the probe asks whether the precise GT at
+    that pixel equals c. The reference runs one python loop per image
+    with torch_scatter; here one batched scatter_max per image via vmap.
+
+    Returns (ncorr_cls, n_cls, ncorr_total, n_total): per-GT-class and
+    total correct/attempt counts. Rows whose GT pixel is ignore (255)
+    count in the totals as incorrect (matching `(gt == pred)`) but are
+    dropped from the per-class bins — the reference would index
+    ncorr_cls[255] and crash there, so the bins only ever see gt < C.
+    """
+    B, H, W, C = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).reshape(B, H * W, C)
+    sid = spx.reshape(B, H * W).astype(jnp.int32)
+    mask = spmask.reshape(B, H * W).astype(bool)
+    gtf = gt.reshape(B, H * W).astype(jnp.int32)
+
+    def one(p, s, m, g, mh):
+        # masked scatter_max: invalid pixels routed to a dummy segment;
+        # empty segments come back with argmax == P (torch_scatter
+        # semantics, utils/loss.py:204)
+        _, amax = scatter_max(p, s, nseg, mask=m, return_argmax=True)
+        valid_seg = amax[:, 0] < p.shape[0]                 # (S,)
+        gt_at = jnp.take(g, jnp.minimum(amax, g.shape[0] - 1))  # (S, C)
+        want = mh[:, :num_classes].astype(bool) & valid_seg[:, None]
+        correct = want & (gt_at == jnp.arange(C)[None, :])
+        gtc = jnp.clip(gt_at, 0, num_classes)               # 255 -> bin C
+        oh = jax.nn.one_hot(gtc, num_classes + 1, dtype=jnp.float32)
+        n_cls = (oh * want[..., None]).sum((0, 1))[:num_classes]
+        ncorr_cls = (oh * correct[..., None]).sum((0, 1))[:num_classes]
+        return ncorr_cls, n_cls, correct.sum(), want.sum()
+
+    ncorr_cls, n_cls, ncorr, n = jax.vmap(one)(probs, sid, mask, gtf,
+                                               multihot.astype(jnp.float32))
+    return (ncorr_cls.sum(0), n_cls.sum(0),
+            ncorr.sum().astype(jnp.float32), n.sum().astype(jnp.float32))
+
+
+class SelectionAccuracyEvaluator:
+    """active_joint_multi_analysis: top-1 selection accuracy over the
+    *labeled* train set (trainer/active_joint_multi_analysis.py:27-102).
+    train_impl is NotImplementedError upstream — this trainer only
+    evaluates."""
+
+    def __init__(self, model, cfg):
+        self.model = model
+        self.cfg = cfg
+        self._fwd = jax.jit(
+            lambda p, bs, x: model.apply({"params": p, "batch_stats": bs},
+                                         x, train=False))
+
+    def run(self, params, batch_stats, loader: Iterable,
+            *, selection_iter: int = 0, logger=None) -> Dict:
+        cfg = self.cfg
+        ncorr_cls = np.zeros(cfg.num_classes)
+        n_cls = np.zeros(cfg.num_classes)
+        ncorr_total = 0.0
+        n_total = 0.0
+        for batch in loader:
+            logits = self._fwd(params, batch_stats,
+                               jnp.asarray(batch["images"]))
+            cc, nc, ct, nt = top1_selection_counts(
+                logits, jnp.asarray(batch["target"]),
+                jnp.asarray(batch["spx"]), jnp.asarray(batch["spmask"]),
+                jnp.asarray(batch["labels"]),
+                nseg=cfg.nseg, num_classes=cfg.num_classes)
+            ncorr_cls += np.asarray(cc)
+            n_cls += np.asarray(nc)
+            ncorr_total += float(ct)
+            n_total += float(nt)
+        acc_total = ncorr_total / max(n_total, 1.0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acc_cls = ncorr_cls / n_cls
+        acc_table = ",".join(str(a) for a in acc_cls.tolist())
+        msg = "[AL {}-round]: evaluation\n{},{}".format(
+            selection_iter, acc_total, acc_table)
+        if logger is not None:
+            logger.info(msg)
+        else:
+            print(msg, flush=True)
+        return {"acc_total": acc_total, "acc_cls": acc_cls,
+                "n_cls": n_cls, "n_total": n_total}

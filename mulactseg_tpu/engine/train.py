@@ -419,7 +419,8 @@ def _sequence_loss(cfg):
     (active_joint_multi_predignore_sequence.py:24-49; its criterion module
     is absent upstream — see losses/partial.plbl_onehot_ce_multihot_choice
     for the reconstruction). The CE and MC buckets share one pooled
-    normalizer: (ce_sum + mc_sum) / (ce_num + mc_num), sequence.py:46-47."""
+    normalizer: (ce_sum + mc_sum) / (ce_num + mc_num), sequence.py:46-47;
+    the count is clamped to >=1 only to avoid 0/0 on all-ignore crops."""
     from mulactseg_tpu.losses.partial import plbl_onehot_ce_multihot_choice
 
     def fn(logits, batch):
@@ -427,7 +428,7 @@ def _sequence_loss(cfg):
             logits, batch["target"], batch["spx"], batch["spmask"],
             batch["labels"], temp=cfg.multi_ce_temp,
             ignore_idx=cfg.ignore_idx)
-        pos = (ce_sum + mc_sum) / (1.0 + ce_num + mc_num)
+        pos = (ce_sum + mc_sum) / jnp.maximum(ce_num + mc_num, 1.0)
         group = group_multi_label_ce(
             logits, batch["target"], batch["spx"], batch["spmask"],
             nseg=cfg.nseg, temp=cfg.group_ce_temp, slice_last=False)

@@ -88,8 +88,8 @@ def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_spatial(batch_images, mesh: Mesh, axis: str = "data"):
-    """Place (B, H, W, C) images with H sharded over the mesh. H must
-    divide the mesh size; callers fall back to replication otherwise."""
+    """Place (B, H, W, C) images with H sharded over the mesh. The mesh
+    size must divide H; callers fall back to replication otherwise."""
     import jax as _jax
 
     if batch_images.shape[1] % mesh.size:

@@ -226,3 +226,35 @@ def test_dataprovider_tiny_dataset_no_hang():
     dp = DataProvider(One(), batch_size=2, num_workers=1, prefetch=1)
     b = next(iter(dp))
     assert b["images"].shape[0] == 2  # sampled with replacement
+
+
+def test_eval_all_remove_dominant_and_withinmulti(disk_fixture):
+    """eval_region_cityscapes_all.py:52-57 (analysis mode drops
+    single-candidate superpixels) + eval_region_cityscapes_withinmulti.py:61
+    (GT 255-masked outside spmask)."""
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    mh = np.array(mh, np.float32)
+    idx0 = 0  # force superpixel 0 of image 0 to a single-candidate row
+    mh[0, idx0] = 0
+    mh[0, idx0, 2] = 1
+    ds = RegionDatasetOr(cfg, str(datalist), str(root / "train.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh)
+    row_sums = np.asarray(mh[ds._target_index(ds.im_idx[0][1])]).sum(-1)
+    single = [i for i in range(S) if row_sums[i] == 1]
+    multi = [i for i in range(S) if row_sums[i] > 1]
+    assert single and multi, "fixture needs both kinds"
+    sel = [single[0], multi[0]]
+    suppix = {ds.im_idx[0][2]: sel}
+
+    plain = EvalRegionDatasetAll(cfg, ds, suppix)[0]
+    filt = EvalRegionDatasetAll(cfg, ds, suppix, remove_dominant=True)[0]
+    np.testing.assert_array_equal(plain["spmask"],
+                                  np.isin(spx_map, sel))
+    np.testing.assert_array_equal(filt["spmask"],
+                                  np.isin(spx_map, [multi[0]]))
+
+    wm = EvalRegionDatasetAll(cfg, ds, suppix, mask_unselected=True)[0]
+    assert (wm["labels"][~wm["spmask"]] == cfg.ignore_idx).all()
+    np.testing.assert_array_equal(wm["labels"][wm["spmask"]],
+                                  plain["labels"][plain["spmask"]])
