@@ -67,16 +67,32 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
     """coeff*CE(one-hot spx) + coeff_mc*MC(multi-hot spx) +
     coeff_gm*Group(multi-hot spx), normalizers 1 + count, exactly as
     losses/partial.lossdecomp. Returns (total, aux)."""
-    from mulactseg_tpu.ops.pixel_loss_pallas import pixel_partial_ce
+    from mulactseg_tpu.ops.pixel_loss_pallas import (
+        CHUNK,
+        pixel_partial_ce,
+        pixel_partial_ce_nchw,
+    )
 
     B, H, W, C = logits.shape
     N = B * H * W
-    lg = logits.astype(jnp.float32).reshape(N, C)
+    # keep the model's dtype: the CE/MC Pallas kernel and the segment
+    # gather both cast to f32 in-register, so materializing a lane-padded
+    # copy here would only burn HBM bandwidth
+    lg = logits.reshape(N, C)
     bits = target_bits.reshape(N).astype(jnp.int32)
 
     # --- CE + MC terms: one streaming Pallas pass over the logits ---------
-    oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce(lg, bits,
-                                                      multi_ce_temp)
+    if (H * W) % CHUNK == 0:
+        # channels-on-sublanes: reads the logits through their native
+        # NCHW layout (free bitcast, no 20->128 lane padding — the
+        # row-major view costs a ~190 MB relayout + 6.4x padded reads)
+        lgc = jnp.transpose(logits, (0, 3, 1, 2)).reshape(B, C, H * W)
+        bits3 = target_bits.reshape(B, 1, H * W).astype(jnp.int32)
+        oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce_nchw(
+            lgc, bits3, multi_ce_temp)
+    else:
+        oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce(lg, bits,
+                                                          multi_ce_temp)
     ce = oh_sum / (1.0 + oh_cnt)
     mc = mh_sum / (1.0 + mh_cnt)
 

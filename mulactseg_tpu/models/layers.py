@@ -67,10 +67,16 @@ class FastBatchNorm(nn.Module):
         if self.use_running_average:
             m, v = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
-            m = jnp.mean(xf, axis=axes)
-            m2 = jnp.mean(jnp.square(xf), axis=axes)
+            # converting reduces (f32 accumulate straight from the compute
+            # dtype) instead of a materialized f32 cast of the whole
+            # activation: the cast copy cost ~0.4 ms/pass at stage-1
+            # shapes (tools_dev/bench_bn.py)
+            import numpy as _np
+
+            n = float(_np.prod([x.shape[a] for a in axes]))
+            m = jnp.sum(x, axis=axes, dtype=jnp.float32) / n
+            m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes) / n
             v = jnp.maximum(m2 - jnp.square(m), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value +

@@ -104,7 +104,7 @@ def _fwd_pallas(x, bits, temp, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
         interpret=interpret,
-    )(x.astype(jnp.float32), bits.astype(jnp.int32)[:, None])
+    )(x, bits.astype(jnp.int32)[:, None])
     s = jnp.sum(out, axis=(0, 1))
     return s[0], s[1], s[2], s[3]
 
@@ -130,9 +130,9 @@ def _bwd_pallas(x, bits, d_oh, d_mh, temp, interpret=False):
     dl = pl.pallas_call(
         functools.partial(_bwd_kernel, C=C, temp=temp),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((x.shape[0], C), x.dtype),
         interpret=interpret,
-    )(g, x.astype(jnp.float32), bits.astype(jnp.int32)[:, None])
+    )(g, x, bits.astype(jnp.int32)[:, None])
     return dl[:orig_N]
 
 
@@ -193,3 +193,152 @@ def _ppc_bwd(temp, res, cts):
 
 
 pixel_partial_ce.defvjp(_ppc_fwd, _ppc_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Channels-on-sublanes variant: consumes logits as (B, C, H*W).
+#
+# XLA lays the classifier logits out NCHW on TPU (minor dim = W, C on a
+# major axis — verified in the optimized HLO: f32[4,768,768,20]{2,1,3,0}),
+# so the row-major (N, C) view the kernel above wants costs a ~190 MB
+# relayout copy PLUS 6.4x lane padding (20 -> 128) on every kernel read.
+# This variant blocks over (image, pixel-chunk) with the C classes on
+# sublanes: the (B, C, HW) view of NCHW logits is a free bitcast, blocks
+# are (1, C, CHUNK) with the huge pixel dim on lanes — no padding, no
+# relayout, same f32 in-register math.
+# ---------------------------------------------------------------------------
+
+CHUNK = 2048  # pixels per grid cell (lane dim); HW must divide
+
+
+def _softmax_pos_cs(x, bits, temp):
+    """x (C, CHUNK) logits block; bits (1, CHUNK) int32. All class-axis
+    reductions run across sublanes."""
+    u = x.astype(jnp.float32) / temp
+    m = jnp.max(u, axis=0, keepdims=True)
+    e = jnp.exp(u - m)
+    z = jnp.sum(e, axis=0, keepdims=True)
+    p = e / z
+    cls = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    t = ((bits >> cls) & 1).astype(jnp.float32)
+    pos = jnp.sum(p * t, axis=0, keepdims=True)
+    n = jnp.sum(t, axis=0, keepdims=True)
+    return p, t, pos, n
+
+
+def _fwd_kernel_cs(x_ref, bits_ref, out_ref, *, temp):
+    _, _, pos, n = _softmax_pos_cs(x_ref[0], bits_ref[0], temp)
+    nll = -jnp.log(pos + EPS)
+    oh = n == 1.0
+    mh = n > 1.0
+    vals = (jnp.sum(jnp.where(oh, nll, 0.0)),
+            jnp.sum(oh.astype(jnp.float32)),
+            jnp.sum(jnp.where(mh, nll, 0.0)),
+            jnp.sum(mh.astype(jnp.float32)))
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    row = jnp.zeros((1, 8, 128), jnp.float32)
+    for i, v in enumerate(vals):
+        row = row + jnp.where((sub == 0) & (lane == i), v, 0.0)
+    out_ref[0] = row
+
+
+def _bwd_kernel_cs(g_ref, x_ref, bits_ref, dl_ref, *, temp):
+    p, t, pos, n = _softmax_pos_cs(x_ref[0], bits_ref[0], temp)
+    scale = jnp.where(n == 1.0, g_ref[0], jnp.where(n > 1.0, g_ref[1], 0.0))
+    coef = scale / (temp * (pos + EPS))
+    dl_ref[0] = (coef * (pos * p - p * t)).astype(dl_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "interpret"))
+def _fwd_pallas_cs(xc, bits3, temp, interpret=False):
+    B, C, HW = xc.shape
+    G = HW // CHUNK
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_cs, temp=temp),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, C, CHUNK), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, 8, 128), jnp.float32),
+        interpret=interpret,
+    )(xc, bits3)
+    s = jnp.sum(out, axis=(0, 1, 2))
+    return s[0], s[1], s[2], s[3]
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "interpret"))
+def _bwd_pallas_cs(xc, bits3, d_oh, d_mh, temp, interpret=False):
+    B, C, HW = xc.shape
+    G = HW // CHUNK
+    g = jnp.stack([d_oh, d_mh]).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, C, CHUNK), lambda b, i, *_: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda b, i, *_: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, C, CHUNK), lambda b, i, *_: (b, 0, i),
+                               memory_space=pltpu.VMEM),
+    )
+    dl = pl.pallas_call(
+        functools.partial(_bwd_kernel_cs, temp=temp),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, HW), xc.dtype),
+        interpret=interpret,
+    )(g, xc, bits3)
+    return dl
+
+
+def _dense_fwd_cs(xc, bits3, temp):
+    B, C, HW = xc.shape
+    rows = jnp.swapaxes(xc, 1, 2).reshape(B * HW, C)
+    return _dense_fwd(rows, bits3.reshape(B * HW), temp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pixel_partial_ce_nchw(logits_cs, bits3, temp):
+    """Channels-on-sublanes pixel partial CE: logits_cs (B, C, H*W) — a
+    free bitcast of the NCHW logits layout XLA already chose — bits3
+    (B, 1, H*W) int32 candidate bitmasks. Same four f32 scalars as
+    pixel_partial_ce. H*W must be a multiple of CHUNK (callers fall back
+    to the row-major kernel otherwise)."""
+    if _use_pallas():
+        return _fwd_pallas_cs(logits_cs, bits3, temp)
+    return _dense_fwd_cs(logits_cs, bits3, temp)
+
+
+def _ppc_cs_fwd(logits_cs, bits3, temp):
+    return pixel_partial_ce_nchw(logits_cs, bits3, temp), (logits_cs, bits3)
+
+
+def _ppc_cs_bwd(temp, res, cts):
+    d_oh_sum, _, d_mh_sum, _ = cts
+    logits_cs, bits3 = res
+    if _use_pallas():
+        dl = _bwd_pallas_cs(logits_cs, bits3, d_oh_sum, d_mh_sum, temp)
+    else:
+        B, C, HW = logits_cs.shape
+        rows = jnp.swapaxes(logits_cs, 1, 2).reshape(B * HW, C)
+        u = rows.astype(jnp.float32) / temp
+        p = jax.nn.softmax(u, axis=-1)
+        lane = jnp.arange(C, dtype=jnp.int32)
+        t = ((bits3.reshape(B * HW)[:, None] >> lane) & 1).astype(jnp.float32)
+        pos = jnp.sum(p * t, axis=-1)
+        n = jnp.sum(t, axis=-1)
+        scale = jnp.where(n == 1, d_oh_sum, jnp.where(n > 1, d_mh_sum, 0.0))
+        coef = (scale / (temp * (pos + EPS)))[:, None]
+        dl = (coef * (pos[:, None] * p - p * t)).reshape(B, HW, C)
+        dl = jnp.swapaxes(dl, 1, 2)
+    return dl.astype(logits_cs.dtype), None
+
+
+pixel_partial_ce_nchw.defvjp(_ppc_cs_fwd, _ppc_cs_bwd)

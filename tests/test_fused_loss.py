@@ -220,3 +220,66 @@ def test_pixel_target_bits_handles_pad_ids():
     bits = pixel_target_bits(target, spx, spmask)
     assert bits[0, 0] == 1 and bits[0, 1] == 2
     assert (bits[1] == 0).all()
+
+
+def test_pixel_partial_ce_nchw_interpret():
+    """Channels-on-sublanes kernel (B, C, HW) matches the dense row-major
+    reference, forward and backward."""
+    from mulactseg_tpu.ops.pixel_loss_pallas import (
+        CHUNK,
+        _bwd_pallas_cs,
+        _dense_fwd,
+        _fwd_pallas_cs,
+    )
+
+    rng = np.random.RandomState(5)
+    B, C, HW = 2, 6, 2 * CHUNK
+    xc = jnp.asarray(rng.randn(B, C, HW).astype(np.float32))
+    bits = rng.randint(0, 2 ** C, (B, 1, HW)).astype(np.int32)
+    bits = jnp.asarray(bits * (rng.rand(B, 1, HW) < 0.8))
+    rows = jnp.swapaxes(xc, 1, 2).reshape(B * HW, C)
+    want = _dense_fwd(rows, bits.reshape(-1), 0.1)
+    got = _fwd_pallas_cs(xc, bits, 0.1, interpret=True)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(float(g), float(w), rtol=1e-5)
+
+    def dense_loss(r):
+        a, _, c, _ = _dense_fwd(r, bits.reshape(-1), 0.1)
+        return 2.0 * a + 3.0 * c
+
+    g_ref = jax.grad(dense_loss)(rows)
+    g_got = _bwd_pallas_cs(xc, bits, jnp.float32(2.0), jnp.float32(3.0),
+                           0.1, interpret=True)
+    g_got_rows = jnp.swapaxes(g_got, 1, 2).reshape(B * HW, C)
+    np.testing.assert_allclose(np.asarray(g_got_rows), np.asarray(g_ref),
+                               rtol=5e-3, atol=1e-5)
+
+
+def test_lossdecomp_fused_nchw_path_matches_row_path():
+    """The CHUNK-divisible (nchw kernel) and the row-kernel dispatch of
+    lossdecomp_fused agree on CPU (both hit dense fallbacks; pins the
+    bitcast/transpose plumbing)."""
+    from mulactseg_tpu.losses.fused import lossdecomp_fused
+
+    rng = np.random.RandomState(7)
+    B, H, W, C, S = 2, 32, 64, 6, 9   # H*W = 2048 = CHUNK
+    logits = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    spx = rng.randint(0, S, (B, H, W)).astype(np.int32)
+    spm = rng.rand(B, H, W) < 0.6
+    tgt = (rng.rand(B, S, C) < 0.4).astype(np.float32)
+    bits = np.stack([pixel_target_bits(tgt[b], spx[b], spm[b])
+                     for b in range(B)])
+    t1, a1 = lossdecomp_fused(logits, jnp.asarray(bits), jnp.asarray(tgt),
+                              jnp.asarray(spx), nseg=S)
+    # odd W makes H*W non-divisible -> row path
+    t2, a2 = lossdecomp_fused(logits[:, :, :63], jnp.asarray(bits[:, :, :63]),
+                              jnp.asarray(tgt), jnp.asarray(spx[:, :, :63]),
+                              nseg=S)
+    assert np.isfinite(float(t1)) and np.isfinite(float(t2))
+    # divisible case really used the nchw path: recompute it via row path
+    from mulactseg_tpu.ops.pixel_loss_pallas import pixel_partial_ce
+
+    lg = logits.reshape(-1, C)
+    want = pixel_partial_ce(lg, jnp.asarray(bits.reshape(-1)), 0.1)
+    ce = float(want[0]) / (1.0 + float(want[1]))
+    np.testing.assert_allclose(float(a1["ce_loss"]), ce, rtol=1e-5)
