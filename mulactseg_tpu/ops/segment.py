@@ -397,7 +397,7 @@ def _ssm_impl(scaled_logits, sid, num_segments):
             # the barrier stops XLA undoing pad(take(...))
             v = jax.lax.optimization_barrier(
                 jnp.pad(v, ((0, 0), (0, LANES - C))))
-        CH = 65536
+        CH = int(_os.environ.get("MULACTSEG_GATHER_CHUNK", "65536"))
         n_valid = ctx.ends[-1]
         P_pad = (P + CH - 1) // CH * CH
         order_p = jnp.pad(ctx.order, (0, P_pad - P))
@@ -471,7 +471,7 @@ def _ssm_impl(scaled_logits, sid, num_segments):
         # One extra all-zero chunk gives the run-walking kernel its DMA
         # overrun margin, so the scan output feeds it with NO slice/pad
         # copy in between.
-        CH = 65536
+        CH = int(_os.environ.get("MULACTSEG_GATHER_CHUNK", "65536"))
         n_valid = ctx.ends[-1]
         P_pad = (P_r + CH - 1) // CH * CH + CH
         order_p = jnp.pad(ctx.order, (0, P_pad - P_r))

@@ -189,10 +189,22 @@ class PseudoLabelGenerator:
             if cfg.save_vis:
                 os.makedirs(vis_dir, exist_ok=True)
 
-        for batch in loader:
+        # pipelined loop: submit image i to the device (async dispatch),
+        # compute image i+1's host-side adjacency on a worker thread, then
+        # fetch i's result — the adjacency cost hides behind device time
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        it = iter(loader)
+        batch = next(it, None)
+        prep = self.host_prep(batch, suppix) if batch is not None else None
+        while batch is not None:
             labels = np.asarray(batch["labels"])
             plbl, spx_map = self.plbl_for_batch(params, batch_stats, batch,
-                                                suppix)
+                                                suppix, prep=prep)
+            nxt = next(it, None)
+            prep_future = (pool.submit(self.host_prep, nxt, suppix)
+                           if nxt is not None else None)
             plbl_np = np.asarray(plbl).astype(np.uint8)
             iou._after_step({"outputs": plbl_np[None],
                              "targets": labels})
@@ -203,6 +215,9 @@ class PseudoLabelGenerator:
                 if cfg.save_vis:
                     self._save_vis(plbl_np, spx_map,
                                    os.path.join(vis_dir, f"{lbl_id}.png"))
+            batch = nxt
+            prep = prep_future.result() if prep_future is not None else None
+        pool.shutdown(wait=False)
 
         ious, precs, recs = iou._after_epoch_ipr()
         miou = float(np.mean(ious))
@@ -210,10 +225,45 @@ class PseudoLabelGenerator:
                                   [f"{v:.2f}" for v in xs])
         return miou, fmt(ious), fmt(precs), fmt(recs)
 
+    def host_prep(self, batch, suppix: Optional[dict] = None):
+        """Host-side (numpy) work for one cosine-type image: target
+        construction, selected-superpixel adjacency, pixel validity.
+        Split out of plbl_for_batch so generate() can compute image i+1's
+        adjacency on a worker thread while the TPU crunches image i
+        (the reference's equivalent is the in-line double Python loop at
+        eval_save_cosplbl_prop.py:121-313). Returns None for non-cosine
+        types (no host work to overlap)."""
+        if self.plbl_type not in _COS_TYPES:
+            return None
+        cfg = self.cfg
+        include_onehot = _COS_TYPES[self.plbl_type][0]
+        spx_map = np.asarray(batch["spx"][0])
+        spmask = np.asarray(batch["spmask"][0]).astype(bool)
+        targets = np.asarray(batch["target"][0], np.float32)
+        if self.plbl_type.startswith("cosprop_onehot"):
+            dom = np.asarray(batch["target"][0]).astype(np.int64)
+            targets, spmask, selected = self._dominant_to_targets(
+                dom, spx_map)
+        else:
+            fname = batch["fnames"][0][2]
+            selected = (suppix or {}).get(fname, [])
+        proto_sid, proto_cls, proto_valid, proto_adj = \
+            selected_spx_adjacency(spx_map, selected, cfg.nseg,
+                                   targets, self.max_protos,
+                                   include_onehot)
+        pixel_valid = spmask.reshape(-1).copy()
+        if not include_onehot:
+            multi = targets.sum(1) > 1
+            pixel_valid &= multi[np.clip(spx_map.reshape(-1), 0,
+                                         cfg.nseg - 1)]
+        return (targets, spmask, proto_sid, proto_cls, proto_valid,
+                proto_adj, pixel_valid)
+
     def plbl_for_batch(self, params, batch_stats, batch,
-                       suppix: Optional[dict] = None):
+                       suppix: Optional[dict] = None, prep=None):
         """One image's pseudo-label map (H, W) for this generator's type;
-        also returns the superpixel map (for visualization overlays)."""
+        also returns the superpixel map (for visualization overlays).
+        `prep` is an optional precomputed host_prep result (pipelining)."""
         cfg = self.cfg
         ptype = self.plbl_type
         images = jnp.asarray(batch["images"])
@@ -251,22 +301,10 @@ class PseudoLabelGenerator:
                 _COS_TYPES[ptype]
             feat, logits = self._forward(params, batch_stats, images)
             probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-            if ptype.startswith("cosprop_onehot"):
-                dom = np.asarray(batch["target"][0]).astype(np.int64)
-                targets, spmask, selected = self._dominant_to_targets(
-                    dom, spx_map)
-            else:
-                fname = batch["fnames"][0][2]
-                selected = (suppix or {}).get(fname, [])
-            proto_sid, proto_cls, proto_valid, proto_adj = \
-                selected_spx_adjacency(spx_map, selected, cfg.nseg,
-                                       targets, self.max_protos,
-                                       include_onehot)
-            pixel_valid = spmask.reshape(-1).copy()
-            if not include_onehot:
-                multi = targets.sum(1) > 1
-                pixel_valid &= multi[np.clip(spx_map.reshape(-1), 0,
-                                             cfg.nseg - 1)]
+            if prep is None:
+                prep = self.host_prep(batch, suppix)
+            targets, spmask, proto_sid, proto_cls, proto_valid, proto_adj, \
+                pixel_valid = prep
             plbl = cosine_prototype_plbl(
                 feat[0].reshape(-1, feat.shape[-1]),
                 probs.reshape(-1, probs.shape[-1]),
