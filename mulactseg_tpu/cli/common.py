@@ -20,6 +20,7 @@ from mulactseg_tpu.data import (
     get_train_transform,
     get_val_transform,
 )
+from mulactseg_tpu.data.stats import stats_mode_for_loader
 from mulactseg_tpu.utils.logging import MetricsSink, get_file_logger
 
 
@@ -87,6 +88,18 @@ def build_active_datasets(cfg):
                            multi_hot_cls=label.multi_hot_cls)
     label.suppix = {}
     label.im_idx = []
+    stats_mode = stats_mode_for_loader(cfg.loader)
+    if stats_mode is not None:
+        # analysis one-off loaders (region_cityscapes_{count_all,
+        # visualize_minor,dom_w_gt,dominant_all_sample}.py) keyed by the
+        # reference loader name
+        from mulactseg_tpu.data.stats import RegionStatsDataset
+
+        label = RegionStatsDataset(
+            cfg, label, stats_mode,
+            pred_ignore="predignore" in (cfg.resume_checkpoint or "")
+            or "predignore" in cfg.method,
+            seed=cfg.seed)
     val = _build_val_dataset(cfg, encode)
     return RegionActiveSet(cfg, pool, label), val
 

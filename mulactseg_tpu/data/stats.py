@@ -1,0 +1,227 @@
+"""Stat / visualization loaders — the reference's analysis one-offs
+rebuilt as vectorized numpy over the shared histogram core:
+
+  count_all        per-superpixel size + #distinct non-ignore GT classes
+                   (region_cityscapes_count_all.py:25-52)
+  visualize_minor  per-superpixel class composition: multi-hot incl. an
+                   ignore column + per-class pixel counts
+                   (region_cityscapes_visualize_minor.py:22-80)
+  dom_w_gt         dominant-label training item that also carries the
+                   precise GT map; 255 -> num_classes when the loaded
+                   checkpoint is a predignore one
+                   (region_cityscapes_dom_w_gt.py:44-85)
+  dominant_sample  dominant labeling where each selected superpixel's
+                   label is SAMPLED proportionally to class pixel counts
+                   instead of argmax (region_cityscapes_dominant_all_
+                   sample.py:41-52, torch.multinomial) — reproduced with
+                   the Gumbel-max trick on log counts
+
+The reference runs a per-superpixel Python loop with np.unique per
+superpixel; here everything is one (S, C+1) histogram per image
+(tools/label_assignment._hist) + array ops.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from mulactseg_tpu.tools.label_assignment import _hist, boundaries_thick
+
+
+def superpixel_count_stats(gt: np.ndarray, spx: np.ndarray, nseg: int,
+                           num_classes: int, selected: List[int],
+                           ignore_idx: int = 255):
+    """count_all semantics: (sup_size_bin, num_class_bin).
+
+    sup_size_bin = pixel count per superpixel id present in the map (the
+    reference's np.unique return_counts — ids ordered ascending);
+    num_class_bin[k] = #distinct non-ignore GT classes inside
+    selected[k] (0 when the superpixel is empty/all-ignore)."""
+    flat_spx = spx.reshape(-1)
+    flat_gt = gt.reshape(-1)
+    sup_size_bin = np.unique(flat_spx, return_counts=True)[1]
+    hist = _hist(flat_spx, flat_gt, nseg, num_classes, ignore_idx)
+    n_cls = (hist[:, :num_classes] > 0).sum(-1)
+    num_class_bin = np.zeros((nseg,), np.int64)
+    sel = np.asarray(selected, np.int64)
+    if sel.size:
+        num_class_bin[:sel.size] = n_cls[sel]
+    return sup_size_bin, num_class_bin
+
+
+def superpixel_composition(gt: np.ndarray, spx: np.ndarray, nseg: int,
+                           num_classes: int, selected: List[int],
+                           ignore_boundaries: bool = False,
+                           ignore_idx: int = 255):
+    """visualize_minor semantics: (superpixel_cls (S, C+1) uint8 multi-hot
+    with the ignore class in the LAST column, superpixel_size (S, C+1)
+    int32 per-class pixel counts, -1 where the class is absent). With
+    ignore_boundaries, thick superpixel boundaries are excluded first
+    (find_boundaries mode='thick' equivalent)."""
+    spx = np.asarray(spx)
+    flat_spx = spx.reshape(-1).copy()
+    flat_gt = np.asarray(gt).reshape(-1)
+    if ignore_boundaries:
+        flat_spx[boundaries_thick(spx).reshape(-1)] = nseg
+    hist = _hist(flat_spx, flat_gt, nseg, num_classes, ignore_idx)
+    cls = np.zeros((nseg, num_classes + 1), np.uint8)
+    size = np.full((nseg, num_classes + 1), -1, np.int32)
+    sel = np.asarray(selected, np.int64)
+    if sel.size:
+        h = hist[sel]
+        present = h > 0
+        # an all-ignore superpixel keeps only the ignore column
+        cls[sel] = present.astype(np.uint8)
+        size[sel] = np.where(present, h, -1).astype(np.int32)
+    return cls, size
+
+
+def sample_dominant_map(gt: np.ndarray, spx: np.ndarray, nseg: int,
+                        num_classes: int, selected: List[int],
+                        rng: np.random.RandomState,
+                        generate_ignore: bool = False,
+                        ignore_idx: int = 255):
+    """dominant_all_sample semantics: per selected superpixel, draw ONE
+    class with probability proportional to its pixel count (the
+    reference's torch.multinomial over np.unique counts) and paint the
+    whole superpixel with it. generate_ignore lets the ignore class
+    compete (and suppresses the final 255 restore). Gumbel-max over log
+    counts reproduces the categorical draw without a Python loop."""
+    flat_gt = np.asarray(gt).reshape(-1).copy()
+    flat_spx = np.asarray(spx).reshape(-1)
+    ig = num_classes if generate_ignore else None
+    hist = _hist(flat_spx, flat_gt, nseg, num_classes, ignore_idx)
+    counts = hist.astype(np.float64)
+    if not generate_ignore:
+        counts[:, num_classes] = 0  # ignore never competes
+    with np.errstate(divide="ignore"):
+        logits = np.log(counts)
+    draw = np.argmax(logits + rng.gumbel(size=counts.shape), axis=-1)
+    sel = np.asarray(selected, np.int64)
+    ignore_mask = flat_gt == ignore_idx
+    if sel.size:
+        has_any = counts[sel].sum(-1) > 0
+        for p, ok in zip(sel, has_any):  # paint; sel is small
+            if not ok:
+                continue
+            cls = draw[p]
+            val = ignore_idx if cls == num_classes else cls
+            m = flat_spx == p
+            if not generate_ignore:
+                m &= ~ignore_mask
+            flat_gt[m] = val
+    if not generate_ignore:
+        flat_gt[ignore_mask] = ignore_idx
+    return flat_gt.reshape(np.asarray(gt).shape)
+
+
+class RegionStatsDataset:
+    """Loader-name-keyed wrapper over a RegionDatasetOr base serving the
+    four analysis item contracts (mode = 'count_all' | 'visualize_minor'
+    | 'dom_w_gt' | 'dominant_sample'). Identity transform, full-res —
+    these are analysis loaders, not training loaders (except dom_w_gt /
+    dominant_sample which reuse the base's transform when present)."""
+
+    def __init__(self, cfg, base, mode: str, *,
+                 pred_ignore: bool = False, generate_ignore: bool = False,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.base = base
+        self.mode = mode
+        self.pred_ignore = pred_ignore
+        self.generate_ignore = generate_ignore
+        self.rng = np.random.RandomState(seed)
+
+    # the active-set machinery (load_datalist etc.) talks to these
+    @property
+    def im_idx(self):
+        return self.base.im_idx
+
+    @im_idx.setter
+    def im_idx(self, v):
+        self.base.im_idx = v
+
+    @property
+    def suppix(self):
+        return self.base.suppix
+
+    @suppix.setter
+    def suppix(self, v):
+        self.base.suppix = v
+
+    def __len__(self):
+        return len(self.base.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        from mulactseg_tpu.data.datasets import normalize, open_spx
+        from mulactseg_tpu.tools.label_assignment import (
+            dominant_label_for_image,
+        )
+
+        cfg = self.cfg
+        img_p, lbl_p, spx_p = self.base.im_idx[index]
+        gt = self.base.encode_fn(np.asarray(Image.open(lbl_p)))
+        spx = open_spx(spx_p)
+        selected = self.base.suppix.get(spx_p, [])
+        if self.mode == "count_all":
+            size_bin, ncls_bin = superpixel_count_stats(
+                gt, spx, cfg.nseg, cfg.num_classes, selected,
+                cfg.ignore_idx)
+            return {"sup_size_bin": size_bin, "num_class_bin": ncls_bin,
+                    "fnames": self.base.im_idx[index]}
+        if self.mode == "visualize_minor":
+            cls, size = superpixel_composition(
+                gt, spx, cfg.nseg, cfg.num_classes, selected,
+                ignore_boundaries=getattr(cfg, "ignore_boundaries", False),
+                ignore_idx=cfg.ignore_idx)
+            return {"superpixel_info": (cls, size),
+                    "superpixel": spx.astype(np.int32),
+                    "target": gt.astype(np.int32),
+                    "fname": self.base.im_idx[index]}
+        image = normalize(np.asarray(Image.open(img_p).convert("RGB")))
+        if self.mode == "dominant_sample":
+            dom = sample_dominant_map(gt, spx, cfg.nseg, cfg.num_classes,
+                                      selected, self.rng,
+                                      self.generate_ignore, cfg.ignore_idx)
+            return {"images": image, "labels": dom.astype(np.int32),
+                    "spx": spx.astype(np.int32),
+                    "fnames": self.base.im_idx[index]}
+        if self.mode == "dom_w_gt":
+            dom = dominant_label_for_image(gt, spx, cfg.nseg,
+                                           cfg.num_classes)
+            mask = np.isin(spx, np.asarray(selected, np.int64))
+            dom = np.where(mask, dom, cfg.ignore_idx)
+            precise = gt.copy()
+            if self.pred_ignore:
+                # 255 -> extra class when the checkpoint predicts ignore
+                # (region_cityscapes_dom_w_gt.py:40,60)
+                dom = np.where(dom == cfg.ignore_idx, cfg.num_classes,
+                               dom)
+                dom = np.where(mask, dom, cfg.ignore_idx)
+                precise = np.where(precise == cfg.ignore_idx,
+                                   cfg.num_classes, precise)
+            return {"images": image, "target": dom.astype(np.int32),
+                    "labels": precise.astype(np.int32),
+                    "spx": spx.astype(np.int32),
+                    "spmask": mask,
+                    "fnames": self.base.im_idx[index]}
+        raise KeyError(self.mode)
+
+
+# loader-name fragments (reference module names) -> RegionStatsDataset mode
+LOADER_MODES = {
+    "count_all": "count_all",
+    "visualize_minor": "visualize_minor",
+    "dom_w_gt": "dom_w_gt",
+    "dominant_all_sample": "dominant_sample",
+}
+
+
+def stats_mode_for_loader(loader: str) -> Optional[str]:
+    for frag, mode in LOADER_MODES.items():
+        if frag in loader:
+            return mode
+    return None

@@ -574,3 +574,137 @@ def seg_sum_onehot_matmul(values: jax.Array, sid: jax.Array, num_segments: int,
     init = jnp.zeros((num_segments, C), jnp.float32)
     out, _ = lax.scan(body, init, (v, sid))
     return out[:, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# NCHW-input segment softmax-max: the group term fed straight from the
+# model's native logits layout.
+#
+# The row-major path above needs scaled (P, C) rows — from NCHW logits
+# that costs a relayout copy + lane-padded pre-gather pad. Here the
+# pre-reduction kernel (ops/segment_pallas.prereduce_softmax_nchw) reads
+# (B, C, HW) directly, does softmax + raster-block merge + lane-pad in
+# one pass, and the sorted gather then touches ~R-fold fewer rows. The
+# backward is the same gather-free scatter pair as _ssm_bwd, oriented
+# NCHW so the cotangent leaves in the logits' own layout.
+# ---------------------------------------------------------------------------
+
+
+def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        prereduce_softmax_nchw,
+        segment_max_pallas,
+    )
+
+    B, C, HW = logits_cs.shape
+    P = B * HW
+    R = _BLOCK
+    sid = sid.reshape(-1).astype(jnp.int32)
+    v, choice = prereduce_softmax_nchw(
+        logits_cs, sid.reshape(B, 1, HW), R, temp,
+        interpret=_pallas_interpret())
+    # retire merged rows: within each R-block, rows matching the leader's
+    # sid (other than the leader itself) go to the dummy bucket
+    sb = sid.reshape(P // R, R)
+    eq = sb == sb[:, :1]
+    col0s = (jnp.arange(R, dtype=jnp.int32) == 0)[None, :]
+    sid2 = jnp.where(col0s, sb,
+                     jnp.where(eq, num_segments, sb)).reshape(P)
+
+    ctx = seg_context(sid2, num_segments)
+    v = jax.lax.optimization_barrier(v)
+    CH = int(_os.environ.get("MULACTSEG_GATHER_CHUNK", "65536"))
+    n_valid = ctx.ends[-1]
+    P_pad = (P + CH - 1) // CH * CH + CH
+    order_p = jnp.pad(ctx.order, (0, P_pad - P))
+
+    def gather_chunk(c, _):
+        base = c * CH
+        idx = jax.lax.dynamic_slice(order_p, (base,), (CH,))
+        blk = jax.lax.cond(
+            base < n_valid,
+            lambda: jnp.take(v, idx, axis=0),
+            lambda: jnp.zeros((CH, v.shape[1]), v.dtype))
+        return c + 1, blk
+
+    _, g = jax.lax.scan(gather_chunk, 0, None, length=P_pad // CH)
+    g = g.reshape(P_pad, v.shape[1])
+    vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0,
+                                   interpret=_pallas_interpret(),
+                                   pre_padded=True)
+    vals, pos = vals[:, :C], pos[:, :C]
+    order_pad = jnp.concatenate(
+        [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
+    pix2 = order_pad[jnp.clip(pos, 0, P)]  # pre-reduced row index
+    blk_i = pix2 // R
+    off = pix2 % R
+    csel = jnp.take(
+        choice.reshape(-1).astype(jnp.int32),
+        jnp.clip(blk_i, 0, P // R - 1) * C +
+        jnp.arange(C, dtype=jnp.int32)[None, :])
+    pix = jnp.where(pix2 >= P, P,
+                    jnp.where(off == 0, blk_i * R + csel, pix2))
+    pix = jnp.minimum(pix, P)
+    return vals, pix
+
+
+def _ssm_nchw_dense(logits_cs, sid, num_segments, temp):
+    """CPU / fallback: dense softmax over the class axis + scan-based
+    segment max (same semantics, no kernels)."""
+    B, C, HW = logits_cs.shape
+    probs = jax.nn.softmax(logits_cs.astype(jnp.float32) / temp, axis=1)
+    rows = jnp.swapaxes(probs, 1, 2).reshape(B * HW, C)
+    ctx = seg_context(sid.reshape(-1).astype(jnp.int32), num_segments)
+    return seg_max_argmax(ctx, rows, fill=0.0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def segment_softmax_max_nchw(logits_cs, sid, num_segments, temp):
+    """(B, C, HW) logits (native NCHW view) + (B*HW,) segment ids ->
+    ((S, C) max softmax(logits/temp) prob per segment/class, (S, C)
+    argmax pixel index with P as the absent-segment marker). Same
+    semantics as segment_softmax_max(scaled_rows, sid, S) with the
+    temperature folded in."""
+    HW = logits_cs.shape[2]
+    from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
+
+    if _pallas_available() and logits_cs.shape[1] <= 128 \
+            and HW % NCHW_CHUNK == 0:
+        return _ssm_nchw_impl(logits_cs, sid, num_segments, temp)
+    return _ssm_nchw_dense(logits_cs, sid, num_segments, temp)
+
+
+def _ssm_nchw_fwd(logits_cs, sid, num_segments, temp):
+    vals, pix = segment_softmax_max_nchw(logits_cs, sid, num_segments, temp)
+    return (vals, pix), (logits_cs, vals, pix)
+
+
+def _ssm_nchw_bwd(num_segments, temp, res, cts):
+    """Same gather-free scatter pair as _ssm_bwd (p_c at the argmax IS
+    the forward max value), with element indices mapped into the NCHW
+    flat order and the 1/temp chain applied for the in-kernel scaling."""
+    g, _ = cts
+    logits_cs, vals, pix = res
+    B, C, HW = logits_cs.shape
+    P = B * HW
+    flat_pix = pix.reshape(-1)
+    safe = jnp.clip(flat_pix, 0, P - 1)
+    cls = jnp.tile(jnp.arange(C, dtype=jnp.int32), pix.shape[0])
+    p_c = vals.reshape(-1)
+    live = (flat_pix < P) & (g.reshape(-1) != 0.0)
+    coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
+    b = safe // HW
+    hw = safe % HW
+    nchw_idx = (b * C + cls) * HW + hw
+    tgt = jnp.where(live, nchw_idx, B * C * HW)  # dead -> OOB, dropped
+    dl_elem = jnp.zeros((B * C * HW,), jnp.float32).at[tgt].add(
+        coef, mode="drop", unique_indices=True).reshape(B, C, HW)
+    wt = jnp.where(live, safe, P)
+    w = jnp.zeros((P,), jnp.float32).at[wt].add(coef, mode="drop")
+    sm = jax.nn.softmax(logits_cs.astype(jnp.float32) / temp, axis=1)
+    dl = (dl_elem - w.reshape(B, 1, HW) * sm) * (1.0 / temp)
+    return dl.astype(logits_cs.dtype), None
+
+
+segment_softmax_max_nchw.defvjp(_ssm_nchw_fwd, _ssm_nchw_bwd)

@@ -331,3 +331,98 @@ def prereduce_softmax_blocks(scaled_logits, sid, R: int, num_segments: int,
         interpret=interpret,
     )(scaled_logits, sid2d)
     return out_v, out_choice
+
+
+# ---------------------------------------------------------------------------
+# NCHW-input pre-reduction: softmax + raster-block merge + lane-pad in ONE
+# pass over the logits' native layout.
+#
+# The row-major prereduce above must be fed a (P, C) f32 array, which from
+# the model's NCHW logits costs a ~190 MB relayout plus 6.4x lane-padded
+# (20 -> 128) kernel reads. This kernel reads (B, C, HW) directly (free
+# bitcast of the logits XLA already stores NCHW), computes the softmax
+# across sublanes, merges raster blocks of R consecutive pixels that share
+# a segment id (lane rolls + masked max), and writes the row-major
+# lane-padded bf16 rows the sorted gather wants — the transpose happens
+# in VMEM, never in HBM.
+# ---------------------------------------------------------------------------
+
+NCHW_CHUNK = 2048  # pixels per grid cell; HW must divide
+
+
+def _prereduce_nchw_kernel(lg_ref, sid_ref, outv_ref, choice_ref, *,
+                           R, inv_temp):
+    p_all = lg_ref[0].astype(jnp.float32) * inv_temp   # (C, CHUNK)
+    m = jnp.max(p_all, axis=0, keepdims=True)
+    e = jnp.exp(p_all - m)
+    p = e / jnp.sum(e, axis=0, keepdims=True)          # per-pixel softmax
+    sid = sid_ref[0]                                   # (1, CHUNK) int32
+    CHUNK = p.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    pos = lane % R
+    # leader (block-start) segment id per lane via lane rolls
+    lead = sid
+    for k in range(1, R):
+        lead = jnp.where(pos == k, pltpu.roll(sid, k, 1), lead)
+    eq = sid == lead
+    pm = jnp.where(eq, p, -1.0)                        # (C, CHUNK)
+    merged = pm
+    rolls = [pm]
+    for k in range(1, R):
+        # left-rotate by k == right-rotate by CHUNK-k (pltpu.roll only
+        # accepts non-negative shifts)
+        rk = pltpu.roll(pm, CHUNK - k, 1)
+        rolls.append(rk)
+        merged = jnp.maximum(merged, rk)
+    # first-max offset within the block (reference argmax tie-break)
+    ch = jnp.full(merged.shape, R - 1, jnp.int32)
+    for k in range(R - 2, -1, -1):
+        ch = jnp.where(rolls[k] == merged, k, ch)
+    out = jnp.where(pos == 0, merged, p)               # (C, CHUNK)
+    out_t = out.T                                      # (CHUNK, C) in VMEM
+    C = out_t.shape[1]
+    outv_ref[:, :C] = out_t.astype(outv_ref.dtype)
+    outv_ref[:, C:] = jnp.zeros((CHUNK, LANES - C), outv_ref.dtype)
+    # compress leader lanes (every R-th) with a selector matmul: the MXU
+    # eats the strided-lane pick Mosaic can't express cheaply
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CHUNK // R, CHUNK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK // R, CHUNK), 1)
+    sel = (cols == rows * R).astype(jnp.float32)       # (CHUNK/R, CHUNK)
+    choice_ref[...] = jax.lax.dot_general(
+        sel, ch.astype(jnp.float32).T,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("R", "temp", "interpret"))
+def prereduce_softmax_nchw(logits_cs, sid3, R: int, temp: float,
+                           interpret: bool = False):
+    """(B, C<=128, HW) logits (any float dtype; HW % NCHW_CHUNK == 0) +
+    (B, 1, HW) int32 segment ids -> ((B*HW, 128) bf16 lane-padded
+    softmax-prob rows with row R*i holding the per-class max over block
+    rows sharing sid[R*i], (B*HW//R, C) int32 per-class winning offset).
+    Softmax temperature folded in (probs of logits/temp)."""
+    B, C, HW = logits_cs.shape
+    assert HW % NCHW_CHUNK == 0, HW
+    G = HW // NCHW_CHUNK
+    out_v, out_choice = pl.pallas_call(
+        functools.partial(_prereduce_nchw_kernel, R=R,
+                          inv_temp=1.0 / temp),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, C, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NCHW_CHUNK, LANES),
+                         lambda b, i: (b * G + i, 0)),
+            pl.BlockSpec((NCHW_CHUNK // R, C),
+                         lambda b, i: (b * G + i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * HW, LANES), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B * HW // R, C), jnp.int32),
+        ],
+        interpret=interpret,
+    )(logits_cs, sid3.astype(jnp.int32))
+    return out_v, out_choice

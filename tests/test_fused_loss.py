@@ -283,3 +283,106 @@ def test_lossdecomp_fused_nchw_path_matches_row_path():
     want = pixel_partial_ce(lg, jnp.asarray(bits.reshape(-1)), 0.1)
     ce = float(want[0]) / (1.0 + float(want[1]))
     np.testing.assert_allclose(float(a1["ce_loss"]), ce, rtol=1e-5)
+
+
+def test_prereduce_nchw_matches_row_kernel():
+    """NCHW pre-reduce (softmax + block merge + pad in one pass) matches
+    the row-major prereduce kernel in interpret mode."""
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        prereduce_softmax_blocks,
+        prereduce_softmax_nchw,
+    )
+
+    rng = np.random.RandomState(11)
+    B, C, HW, R, S = 2, 6, NCHW_CHUNK, 4, 9
+    temp = 0.1
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    # raster-ish sid runs: blocks of random length share an id
+    sid = np.repeat(rng.randint(0, S, (B, HW // 8)), 8, axis=1)
+    sid[rng.rand(B, HW) < 0.05] = S  # some dummy rows
+
+    got_v, got_c = prereduce_softmax_nchw(
+        jnp.asarray(lg), jnp.asarray(sid[:, None, :]), R, temp,
+        interpret=True)
+    rows = jnp.asarray(np.swapaxes(lg, 1, 2).reshape(B * HW, C) / temp)
+    want_v, want_c = prereduce_softmax_blocks(
+        rows, jnp.asarray(sid.reshape(-1)), R, S, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_v, np.float32),
+                               np.asarray(want_v, np.float32),
+                               rtol=0, atol=1e-2)  # bf16 rounding
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+
+def test_segment_softmax_max_nchw_matches_row(monkeypatch):
+    """NCHW group-term entry point (kernel impl, interpret mode) matches
+    the row-major segment_softmax_max forward and backward."""
+    from mulactseg_tpu.ops.segment import (
+        segment_softmax_max,
+        segment_softmax_max_nchw,
+    )
+    from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
+
+    monkeypatch.setenv("MULACTSEG_FORCE_PALLAS_INTERPRET", "1")
+    rng = np.random.RandomState(13)
+    B, C, HW, S = 2, 6, NCHW_CHUNK, 40
+    temp = 1.0  # unsaturated probs so the loss comparison has signal
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    sid = np.repeat(rng.randint(0, S + 1, (B, HW // 8)), 8, axis=1)
+    sid = np.where(sid >= S, 2 * S, sid)  # dummy bucket rows
+    sid_flat = (sid + (np.arange(B)[:, None] * S)).reshape(-1)
+    sid_flat = np.where(sid_flat >= 2 * S, B * S, np.minimum(sid_flat,
+                                                             B * S))
+
+    rows = np.swapaxes(lg, 1, 2).reshape(B * HW, C)
+
+    def loss_nchw(x):
+        mx, _ = segment_softmax_max_nchw(x, jnp.asarray(sid_flat), B * S,
+                                         temp)
+        return jnp.sum(-jnp.log(mx + 1e-8) * (mx > 0)), mx
+
+    def loss_rows(r):
+        mx, _ = segment_softmax_max(r / temp, jnp.asarray(sid_flat), B * S)
+        return jnp.sum(-jnp.log(mx + 1e-8) * (mx > 0)), mx
+
+    (l1, mx1), g1 = jax.value_and_grad(loss_nchw, has_aux=True)(
+        jnp.asarray(lg))
+    # compare against the row-major PRE-REDUCE flavor: it rounds at the
+    # same point (f32 softmax -> bf16 probs), so argmax tie-breaks match;
+    # the default row path rounds the logits instead and flips ~0.1% of
+    # near-tie argmax pixels (both are valid subgradients)
+    monkeypatch.setenv("MULACTSEG_SSM_PREREDUCE", "1")
+    (l2, mx2), g2 = jax.value_and_grad(loss_rows, has_aux=True)(
+        jnp.asarray(rows))
+    monkeypatch.delenv("MULACTSEG_SSM_PREREDUCE")
+    np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx2),
+                               rtol=0, atol=1e-2)  # bf16 gather stream
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-2)
+    g2_nchw = np.swapaxes(np.asarray(g2).reshape(B, HW, C), 1, 2)
+    np.testing.assert_allclose(np.asarray(g1), g2_nchw, rtol=0.1,
+                               atol=2e-3)
+
+
+def test_segment_softmax_max_nchw_dense_fallback():
+    """CPU dense fallback of the NCHW entry point matches the row path
+    exactly (both dense)."""
+    from mulactseg_tpu.ops.segment import (
+        segment_softmax_max_nchw,
+        seg_context,
+        seg_max_argmax,
+    )
+
+    rng = np.random.RandomState(17)
+    B, C, HW, S = 2, 5, 64, 7
+    temp = 0.5
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    sid = rng.randint(0, S + 1, B * HW)
+    mx, pix = segment_softmax_max_nchw(jnp.asarray(lg), jnp.asarray(sid),
+                                       S, temp)
+    rows = jnp.asarray(np.swapaxes(lg, 1, 2).reshape(B * HW, C))
+    probs = jax.nn.softmax(rows / temp, axis=-1)
+    want_mx, want_pix = seg_max_argmax(
+        seg_context(jnp.asarray(sid), S), probs, fill=0.0)
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(want_mx),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
