@@ -141,3 +141,55 @@ def resize_bilinear(x, size: Tuple[int, int]):
     # downsampling; tested in tests/test_backbone_parity.py)
     return jax.image.resize(x, (B, size[0], size[1], C), method="bilinear",
                             antialias=False)
+
+
+class S2DStemConv(nn.Module):
+    """The stem's 3x3 stride-2 conv computed on a 2x2 space-to-depth view
+    (the MLPerf-ResNet TPU trick): a 2x2 stride-1 conv on the 12-channel
+    half-res view is EXACTLY the same linear map with rearranged weights.
+    Gated by MULACTSEG_S2D_STEM (models/resnet.py): on the current chip
+    it measured slightly SLOWER than the native 3-channel conv emitter
+    (29.0 -> 28.7 img/s at stage-1 shapes) — kept as a per-hardware
+    switch since the balance differs across TPU generations.
+
+    The parameter keeps the canonical (3, 3, 3, features) shape under
+    the same tree path ("<name>/kernel"), so torch import, checkpoints
+    and inits are unchanged; the (2, 2, 12, features) kernel is derived
+    in-trace (gradients flow through the rearrangement).
+
+    Derivation: y[i,j] = sum_{di,dj in {-1,0,1}} W[di+1,dj+1] x[2i+di,
+    2j+dj] (stride 2, pad 1). With z[u,v,(p,q,c)] = x[2u+p, 2v+q, c],
+    the taps live at (u,v) in {i-1,i} x {j-1,j}: di = 2a+p-2 for
+    z-offset a and phase p (a=p=0 -> di=-2 is out of support, weight 0).
+    So a 2x2 stride-1 conv over z with top/left padding 1."""
+
+    features: int
+    dtype: Optional[object] = None
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        k = self.param("kernel", kaiming_out, (3, 3, C, self.features),
+                       jnp.float32)
+        dt = self.dtype or x.dtype
+        # (B, H, W, C) -> (B, H/2, W/2, 4C), channel index (p*2+q)*C + c
+        z = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        w2 = jnp.zeros((2, 2, 4 * C, self.features), k.dtype)
+        for a in (0, 1):
+            for p in (0, 1):
+                di = 2 * a + p - 2
+                if not -1 <= di <= 1:
+                    continue
+                for b in (0, 1):
+                    for q in (0, 1):
+                        dj = 2 * b + q - 2
+                        if not -1 <= dj <= 1:
+                            continue
+                        w2 = w2.at[a, b, (p * 2 + q) * C:
+                                   (p * 2 + q) * C + C, :].set(
+                            k[di + 1, dj + 1])
+        return jax.lax.conv_general_dilated(
+            z.astype(dt), w2.astype(dt), window_strides=(1, 1),
+            padding=((1, 0), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -96,7 +96,22 @@ class ResNet(nn.Module):
         if dt is not None:
             x = x.astype(dt)
         if self.deep_stem:
-            x = conv(self.stem_width, 3, 2, name="stem_conv1", dtype=dt)(x)
+            import os as _os
+
+            if _os.environ.get("MULACTSEG_S2D_STEM") and \
+                    x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                # exact space-to-depth stem (layers.S2DStemConv): OFF by
+                # default — measured 29.0 -> 28.7 img/s on the current
+                # chip (its 3-channel conv emitter is already efficient,
+                # and the 12-channel view lane-pads 12 -> 128); exactness
+                # is pinned by tests, re-evaluate per TPU generation
+                from mulactseg_tpu.models.layers import S2DStemConv
+
+                x = S2DStemConv(self.stem_width, dtype=dt,
+                                name="stem_conv1")(x)
+            else:
+                x = conv(self.stem_width, 3, 2, name="stem_conv1",
+                         dtype=dt)(x)
             x = batch_norm(train, name="stem_bn1", dtype=dt)(x)
             x = nn.relu(x)
             x = conv(self.stem_width, 3, 1, name="stem_conv2", dtype=dt)(x)

@@ -63,3 +63,21 @@ def test_s2b_auto_disabled_on_indivisible():
     v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
     out = m.apply(v, x, train=False)
     assert out["out"].shape[1] == 5
+
+
+def test_s2d_stem_conv_exact():
+    """S2DStemConv == the plain 3x3 stride-2 pad-1 conv with the SAME
+    parameter tree (models/layers.S2DStemConv derivation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mulactseg_tpu.models.layers import S2DStemConv, conv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3), jnp.float32)
+    m1 = conv(16, 3, 2, name="stem_conv1")
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    y1 = m1.apply(v1, x)
+    y2 = S2DStemConv(16, name="stem_conv1").apply(v1, x)
+    assert y1.shape == y2.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-6)
