@@ -68,21 +68,20 @@ def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
     proto_cls[:len(cls)] = cls
     proto_valid[:len(sid)] = True
 
-    # full adjacency in one pass: 8-neighbor (3x3) shift pairs
-    adj = np.zeros((S, S), bool)
-    m = spx_map
-    pairs = []
+    # full adjacency in one pass: 8-neighbor (3x3) shift pairs scattered
+    # straight into the dense bool matrix (an np.unique(axis=0) over the
+    # ~9*H*W raw pairs costs ~23 s/image at 1024x2048 — measured; the
+    # scatter is ~100 ms)
+    adjp = np.zeros((S + 1, S + 1), bool)  # row/col S = out-of-range sink
+    m = np.minimum(spx_map, S)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             a = m[max(0, dy):m.shape[0] + min(0, dy),
                   max(0, dx):m.shape[1] + min(0, dx)]
             b = m[max(0, -dy):m.shape[0] + min(0, -dy),
                   max(0, -dx):m.shape[1] + min(0, -dx)]
-            pairs.append(np.stack([a.reshape(-1), b.reshape(-1)], 1))
-    pairs = np.unique(np.concatenate(pairs), axis=0)
-    keep = (pairs[:, 0] < S) & (pairs[:, 1] < S)
-    pairs = pairs[keep]
-    adj[pairs[:, 0], pairs[:, 1]] = True
+            adjp[a.reshape(-1), b.reshape(-1)] = True
+    adj = adjp[:S, :S]
     proto_adj = np.zeros((NP, S), bool)
     proto_adj[:len(sid)] = adj[sid]
     return proto_sid, proto_cls, proto_valid, proto_adj
