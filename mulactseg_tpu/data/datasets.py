@@ -39,7 +39,68 @@ def load_region_dict(path: str) -> Dict[str, List[int]]:
     return {k: list(v) for k, v in data.items()}
 
 
-def open_spx(path: str) -> np.ndarray:
+class _DecodeCache:
+    """Byte-capped LRU over decoded files. AL training revisits the same
+    small labeled set for 80k iterations, so PNG decode (~175 ms/image at
+    1024x2048, the single-thread input-pipeline bottleneck measured by
+    tools_dev/bench_e2e.py) is pure waste after the first epoch. Cached
+    arrays are treated as read-only — every consumer below copies via
+    transform/astype/encode before mutation. Cap via
+    MULACTSEG_DECODE_CACHE_MB (0 disables; default 2048)."""
+
+    def __init__(self):
+        import collections
+        import threading
+
+        self._d = collections.OrderedDict()
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def _cap(self) -> int:
+        return int(os.environ.get("MULACTSEG_DECODE_CACHE_MB",
+                                  "2048")) * 1024 * 1024
+
+    def get(self, key, loader):
+        cap = self._cap()
+        if cap <= 0:
+            return loader()
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+        val = loader()
+        with self._lock:
+            if key not in self._d:
+                self._d[key] = val
+                self._bytes += val.nbytes
+                while self._bytes > cap and len(self._d) > 1:
+                    _, old = self._d.popitem(last=False)
+                    self._bytes -= old.nbytes
+        return val
+
+    def clear(self):
+        with self._lock:
+            self._d.clear()
+            self._bytes = 0
+
+
+_decode_cache = _DecodeCache()
+
+
+def open_image(path: str) -> np.ndarray:
+    """Decoded RGB uint8 (cached; treat as read-only)."""
+    return _decode_cache.get(
+        ("img", path),
+        lambda: np.asarray(Image.open(path).convert("RGB")))
+
+
+def open_label(path: str) -> np.ndarray:
+    """Decoded raw label array (cached, pre-encode; read-only)."""
+    return _decode_cache.get(
+        ("lbl", path), lambda: np.asarray(Image.open(path)))
+
+
+def _open_spx_impl(path: str) -> np.ndarray:
     ext = path.rsplit(".", 1)[-1]
     if ext in ("png", "jpg"):
         return np.asarray(Image.open(path), dtype=np.int32)
@@ -55,6 +116,10 @@ def open_spx(path: str) -> np.ndarray:
             return np.asarray(arch["labels"], dtype=np.int32)
         return np.asarray(arch, dtype=np.int32)
     raise ValueError(f"unsupported superpixel file {path}")
+
+
+def open_spx(path: str) -> np.ndarray:
+    return _decode_cache.get(("spx", path), lambda: _open_spx_impl(path))
 
 
 def encode_cityscapes(target: np.ndarray) -> np.ndarray:
@@ -195,7 +260,7 @@ class RegionDatasetOr:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p, spx_p = self.im_idx[index]
-        image = np.asarray(Image.open(img_p).convert("RGB"))
+        image = open_image(img_p)
         spx = open_spx(spx_p)
         target = np.asarray(self.multi_hot_cls[self._target_index(lbl_p)],
                             np.float32)
@@ -215,7 +280,7 @@ class RegionDatasetOr:
             spx_small = open_spx(small_p)
         gt = None
         if self.load_gt:
-            gt = self.encode_fn(np.asarray(Image.open(lbl_p)))
+            gt = self.encode_fn(open_label(lbl_p))
         raw = {"image": image, "gt": gt, "spx": spx, "spx_small": spx_small}
 
         labels = ([gt] if gt is not None else []) + [spx] +             ([spx_small] if spx_small is not None else [])
@@ -358,7 +423,7 @@ class RegionDatasetMseg:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_spx = self.im_idx[index]
-        image = np.asarray(Image.open(img_p).convert("RGB"))
+        image = open_image(img_p)
         S = len(self.nseg_list)
         spx_maps: List[Optional[np.ndarray]] = [None] * S
         present = np.zeros(S, bool)
@@ -429,8 +494,8 @@ class EvalRegionDatasetAll:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p, spx_p = self.im_idx[index]
-        image = normalize(np.asarray(Image.open(img_p).convert("RGB")))
-        gt = self.base.encode_fn(np.asarray(Image.open(lbl_p)))
+        image = normalize(open_image(img_p))
+        gt = self.base.encode_fn(open_label(lbl_p))
         gt = np.where(gt == self.cfg.ignore_idx, self.cfg.num_classes,
                       gt).astype(np.int32)
         spx = open_spx(spx_p)
@@ -467,9 +532,9 @@ class RegionDatasetPlbl:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p, _ = self.im_idx[index]
-        image = np.asarray(Image.open(img_p).convert("RGB"))
+        image = open_image(img_p)
         lbl_id = os.path.basename(lbl_p).split(".")[0]
-        plbl = np.asarray(Image.open(
+        plbl = np.asarray(open_label(
             os.path.join(self.plbl_dir, f"{lbl_id}.png")), dtype=np.int32)
         if self.transform is not None:
             image, (plbl,) = self.transform(image, [plbl])
@@ -506,9 +571,9 @@ class ValDataset:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p = self.im_idx[index]
-        image = np.asarray(Image.open(img_p).convert("RGB"))
+        image = open_image(img_p)
         raw = (self.label_opener(lbl_p) if self.label_opener is not None
-               else np.asarray(Image.open(lbl_p)))
+               else open_label(lbl_p))
         gt = self.encode_fn(raw)
         if self.transform is not None:
             image, (gt,) = self.transform(image, [gt])
