@@ -599,7 +599,12 @@ def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
 
     B, C, HW = logits_cs.shape
     P = B * HW
-    R = _BLOCK
+    # merge width (O(R) lane rolls in the kernel). R=16 retires ~4x more
+    # rows than R=4 before the sorted gather but measured EQUAL end-to-end
+    # (29.00 vs 28.99 img/s): past R=4 the group term is bounded by the
+    # run-walk kernel + key sort, not the gather. Env knob kept for
+    # hardware with a different gather-latency balance
+    R = int(_os.environ.get("MULACTSEG_NCHW_PRERED_R", "4"))
     sid = sid.reshape(-1).astype(jnp.int32)
     v, choice = prereduce_softmax_nchw(
         logits_cs, sid.reshape(B, 1, HW), R, temp,
