@@ -32,6 +32,7 @@ def test_train_al_cli_synthetic(tmp_path):
         "--max-iterations", "2", "--active-selection-size", "10",
         "--val-batch-size", "2", "--dtype", "float32",
         "--model-save-dir", str(tmp_path / "run"),
+        "--model", "deeplabv3plus_mobilenet",  # CLI plumbing test: small model
         "--active-method", "my_random",
     ])
     assert set(results.keys()) == {1, 2}

@@ -62,6 +62,10 @@ def _common_args(root, S, run_dir):
         "--dtype", "float32", "--num-workers", "2",
         "--val-num-workers", "2",
         "--model-save-dir", str(run_dir),
+        # pipeline plumbing test: the flagship is covered by the parity
+        # suites + the verify drive; the small model cuts ~6 min of CPU
+        # compiles from the suite
+        "--model", "deeplabv3plus_mobilenet",
     ]
 
 

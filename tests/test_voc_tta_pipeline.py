@@ -67,6 +67,7 @@ def test_voc_stage1_then_tta_plbl(voc_disk, tmp_path, monkeypatch):
         "--finetune-itrs", "2", "--val-period", "100",
         "--dtype", "float32", "--num-workers", "0",
         "--val-num-workers", "0", "--model-save-dir", str(run),
+        "--model", "deeplabv3plus_mobilenet",  # chain test: small model
         "--max-iterations", "1", "--active-selection-size", "60",
         "--active-method", "my_random", "--init-active-method", "my_random",
     ]
