@@ -19,6 +19,16 @@ from mulactseg_tpu.acquisition import scoring
 from mulactseg_tpu.data.loader import DataProvider
 
 
+def _concat_rows(rows):
+    """Bulk-fetch the deferred per-batch device rows (single blocking point
+    after the whole sweep has been dispatched) and re-pack as one device
+    array. Host-side concatenate avoids compiling a fresh N-way concat for
+    every pool size."""
+    import jax
+
+    return jnp.asarray(np.concatenate(jax.device_get(rows), axis=0))
+
+
 class RegionSelector:
     """Base: select_next_batch -> calculate_scores -> expand_training_set
     (active_selection/base.py:13-38)."""
@@ -104,27 +114,30 @@ class BvsbSelector(RegionSelector):
         cfg = self.cfg
         drop_last = "predignore" in cfg.method
         rows, votes_rows, keys = [], [], []
+        # per-batch results stay ON DEVICE until the loop ends: a per-batch
+        # np.asarray blocks on the ~75 ms tunnel round trip each iteration,
+        # serializing dispatch latency into the sweep; deferring the fetch
+        # lets dispatches pipeline (the (B, nseg) rows are tiny)
         for batch in self._pool_loader(pool_set):
             logits = trainer.predict_logits(batch["images"])
             spx = jnp.asarray(batch["spx"])
             r = scoring.region_bvsb_scores(
                 logits, spx, nseg=self.num_superpixels, temp=cfg.ce_temp,
                 drop_last=drop_last)
-            rows.append(np.asarray(r))
+            rows.append(r)
             keys.extend(batch["fnames"])
             if self.ban_ignore:
                 _, votes = scoring.region_weighted_bvsb_and_votes(
                     logits, spx,
                     jnp.ones((logits.shape[-1],), jnp.float32),
                     nseg=self.num_superpixels, temp=cfg.ce_temp)
-                votes_rows.append(np.asarray(votes))
-        scores = np.concatenate(rows, axis=0)
-        scores = np.asarray(scoring.minmax_normalize(jnp.asarray(scores)))
+                votes_rows.append(votes)
+        scores = scoring.minmax_normalize(_concat_rows(rows))
         if self.ban_ignore:
-            votes = np.concatenate(votes_rows, axis=0)
-            scores = np.asarray(scoring.ban_ignore_dominant(
-                jnp.asarray(scores), jnp.asarray(votes)))
-        return self.gen_score_list_from_tensor(pool_set, scores, keys)
+            scores = scoring.ban_ignore_dominant(
+                scores, _concat_rows(votes_rows))
+        return self.gen_score_list_from_tensor(pool_set, np.asarray(scores),
+                                               keys)
 
 
 class BvsbPredClsbalPwrSelector(RegionSelector):
@@ -151,7 +164,8 @@ class BvsbPredClsbalPwrSelector(RegionSelector):
             nb += 1
         cls_weight = scoring.cls_weight_pwr(cum / nb, cfg.cls_weight_coeff)
 
-        # pass 2: weighted region scores + votes
+        # pass 2: weighted region scores + votes (fetch deferred — see
+        # BvsbSelector.calculate_scores)
         rows, votes_rows, keys = [], [], []
         for batch in self._pool_loader(pool_set):
             logits = trainer.predict_logits(batch["images"])
@@ -159,15 +173,15 @@ class BvsbPredClsbalPwrSelector(RegionSelector):
             r, v = scoring.region_weighted_bvsb_and_votes(
                 logits, spx, cls_weight, nseg=self.num_superpixels,
                 temp=cfg.ce_temp)
-            rows.append(np.asarray(r))
-            votes_rows.append(np.asarray(v))
+            rows.append(r)
+            votes_rows.append(v)
             keys.extend(batch["fnames"])
-        scores = np.concatenate(rows, axis=0)
+        scores = _concat_rows(rows)
         if self.ban_ignore:
-            votes = np.concatenate(votes_rows, axis=0)
-            scores = np.asarray(scoring.ban_ignore_dominant(
-                jnp.asarray(scores), jnp.asarray(votes)))
-        return self.gen_score_list_from_tensor(pool_set, scores, keys)
+            scores = scoring.ban_ignore_dominant(
+                scores, _concat_rows(votes_rows))
+        return self.gen_score_list_from_tensor(pool_set, np.asarray(scores),
+                                               keys)
 
 
 class BvsbClsbalV2Selector(RegionSelector):
@@ -191,12 +205,11 @@ class BvsbClsbalV2Selector(RegionSelector):
             r, v = scoring.region_weighted_bvsb_and_votes(
                 logits, spx, jnp.ones((logits.shape[-1],), jnp.float32),
                 nseg=self.num_superpixels, temp=cfg.ce_temp)
-            rows.append(np.asarray(r))
-            votes_rows.append(np.asarray(v))
+            rows.append(r)
+            votes_rows.append(v)
             keys.extend(batch["fnames"])
-        scores = np.concatenate(rows, axis=0)
-        votes = np.concatenate(votes_rows, axis=0)
-        scores = np.asarray(scoring.minmax_normalize(jnp.asarray(scores)))
+        scores = np.asarray(scoring.minmax_normalize(_concat_rows(rows)))
+        votes = np.asarray(_concat_rows(votes_rows))
         flat_votes = votes.reshape(-1, votes.shape[-1])
         dominant = flat_votes.argmax(axis=1)
         dist = np.bincount(dominant, minlength=votes.shape[-1]).astype(

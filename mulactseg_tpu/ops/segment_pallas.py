@@ -19,6 +19,7 @@ torch_scatter semantics (see ops/segment.py docstring).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -27,51 +28,86 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-CHUNK = 512  # rows per DMA; runs longer than this loop over chunks
+# rows per DMA; runs longer than this loop over chunks. With the NCHW
+# prereduce (R=4) the average run is ~72 rows, so a big chunk over-fetches
+# bandwidth. Env knob for tuning per hardware (DMA latency : bandwidth).
+CHUNK = int(os.environ.get("MULACTSEG_RUNWALK_CHUNK", "512"))
 
 
 SEGS_PER_BLOCK = 8  # TPU output tiles must be (8, 128)
 
 
-def _kernel(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk, sem,
-            *, fill: float, P: int):
+def _max_kernel_db(starts_ref, ends_ref, g_hbm, out_val, out_idx, chunk,
+                   sem, *, fill: float, P: int):
+    """_kernel with the DMAs double-buffered ACROSS segments (the same
+    pipeline as _softmax_kernel, minus the in-register softmax). The
+    single-buffered start->wait->compute loop serializes ~0.75 us of DMA
+    latency per segment — ~6 ms/step at stage-1 shapes (8k segments) —
+    which the cross-segment prefetch hides behind the reduction."""
     blk = pl.program_id(0)
 
-    def seg_body(j, _):
-        s = blk * SEGS_PER_BLOCK + j
+    def seg_start(s):
+        # first aligned row of segment s's run (sublane multiple of 8)
+        return (starts_ref[s] // 8) * 8
+
+    def n_chunks(s):
+        # >= 1 so the pipeline stays regular; empty segments are masked out
+        return jnp.maximum(
+            lax.div(ends_ref[s] - seg_start(s) + (CHUNK - 1), CHUNK), 1)
+
+    def start_dma(s, i, slot):
+        pltpu.make_async_copy(
+            g_hbm.at[pl.ds(seg_start(s) + i * CHUNK, CHUNK)],
+            chunk.at[slot], sem.at[slot]).start()
+
+    s0 = blk * SEGS_PER_BLOCK
+    start_dma(s0, 0, 0)
+
+    def seg_body(j, q):
+        s = s0 + j
         st = starts_ref[s]
         en = ends_ref[s]
-        # DMA-aligned base (sublane multiple of 8 for f32)
-        st0 = (st // 8) * 8
-        nch = lax.div(en - st0 + (CHUNK - 1), CHUNK)
+        st0 = seg_start(s)
+        nch = n_chunks(s)
 
         def body(i, carry):
-            vmax, imax = carry
+            vmax, imax, q = carry
+            # queue the successor chunk before consuming the current one
+            has_next_i = i + 1 < nch
+
+            @pl.when(has_next_i)
+            def _():
+                start_dma(s, i + 1, (q + 1) % 2)
+
+            @pl.when(jnp.logical_not(has_next_i) & (j + 1 < SEGS_PER_BLOCK))
+            def _():
+                start_dma(s + 1, 0, (q + 1) % 2)
+
+            slot = q % 2
+            pltpu.make_async_copy(
+                g_hbm.at[pl.ds(st0 + i * CHUNK, CHUNK)],
+                chunk.at[slot], sem.at[slot]).wait()
             base = st0 + i * CHUNK
-            dma = pltpu.make_async_copy(g_hbm.at[pl.ds(base, CHUNK)],
-                                        chunk, sem)
-            dma.start()
-            dma.wait()
             rows = jax.lax.broadcasted_iota(
                 jnp.int32, (CHUNK, LANES), 0) + base
             valid = (rows >= st) & (rows < en)
-            v = jnp.where(valid, chunk[:].astype(jnp.float32), -jnp.inf)
-            cmax = jnp.max(v, axis=0, keepdims=True)              # (1, LANES)
+            v = jnp.where(valid, chunk[slot].astype(jnp.float32), -jnp.inf)
+            cmax = jnp.max(v, axis=0, keepdims=True)
             hit = v == cmax
             cidx = jnp.min(jnp.where(hit & valid, rows, P), axis=0,
-                           keepdims=True)                          # (1, LANES)
+                           keepdims=True)
             take = cmax > vmax
             vmax = jnp.where(take, cmax, vmax)
             imax = jnp.where(take, cidx, imax)
-            return vmax, imax
+            return vmax, imax, q + 1
 
         init = (jnp.full((1, LANES), -jnp.inf, jnp.float32),
-                jnp.full((1, LANES), P, jnp.int32))
-        vmax, imax = lax.fori_loop(0, nch, body, init)
+                jnp.full((1, LANES), P, jnp.int32), q)
+        vmax, imax, q = lax.fori_loop(0, nch, body, init)
         has = en > st
         out_val[pl.ds(j, 1), :] = jnp.where(has, vmax, jnp.float32(fill))
         out_idx[pl.ds(j, 1), :] = jnp.where(has, imax, jnp.int32(P))
-        return 0
+        return q
 
     lax.fori_loop(0, SEGS_PER_BLOCK, seg_body, 0)
 
@@ -252,12 +288,12 @@ def segment_max_pallas(g_sorted: jax.Array, starts: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, LANES), g.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, CHUNK, LANES), g.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_val, out_idx = pl.pallas_call(
-        functools.partial(_kernel, fill=fill, P=P),
+        functools.partial(_max_kernel_db, fill=fill, P=P),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((S + S_pad, LANES), jnp.float32),

@@ -56,7 +56,10 @@ def _images(rng, n):
     return [rng.randn(1, H, W, 3).astype(np.float32) for _ in range(n)]
 
 
-def bench_score():
+def bench_score(batch_sizes=(1, 2, 4)):
+    """Per-launch (executable dispatch) overhead on this tunnel is ~75 ms
+    even when calls are queued back-to-back, so val_batch_size is the
+    amortization lever — sweep it and report one row per batch size."""
     from mulactseg_tpu.acquisition import scoring
     from mulactseg_tpu.data.synthetic import irregular_superpixels
 
@@ -66,9 +69,9 @@ def bench_score():
 
     rng = np.random.RandomState(0)
     print("# building fixture...", file=sys.stderr, flush=True)
-    imgs = [jnp.asarray(x, jnp.bfloat16) for x in _images(rng, N_IMAGES)]
+    raw = _images(rng, N_IMAGES)
     base_spx = [irregular_superpixels(H, W, NSEG, rng) for _ in range(2)]
-    spxs = [jnp.asarray(base_spx[i % 2][None]) for i in range(N_IMAGES)]
+    raw_spx = [base_spx[i % 2] for i in range(N_IMAGES)]
     print("# fixture done", file=sys.stderr, flush=True)
     cls_weight = jnp.ones((C + 1,), jnp.float32)
 
@@ -82,27 +85,35 @@ def bench_score():
         return scoring.region_weighted_bvsb_and_votes(
             lg, spx, cls_weight, nseg=NSEG, temp=cfg.ce_temp)
 
-    # compile + warm
-    m = pass1(state.params, state.batch_stats, imgs[0])
-    r, v = pass2(state.params, state.batch_stats, imgs[0], spxs[0])
-    _ = float(jnp.sum(m)) + float(jnp.sum(r)) + float(jnp.sum(v))
+    best = 0.0
+    for B in batch_sizes:
+        imgs = [jnp.asarray(np.concatenate(raw[i:i + B]), jnp.bfloat16)
+                for i in range(0, N_IMAGES, B)]
+        spxs = [jnp.asarray(np.stack(raw_spx[i:i + B]))
+                for i in range(0, N_IMAGES, B)]
+        # compile + warm
+        m = pass1(state.params, state.batch_stats, imgs[0])
+        r, v = pass2(state.params, state.batch_stats, imgs[0], spxs[0])
+        _ = float(jnp.sum(m)) + float(jnp.sum(r)) + float(jnp.sum(v))
 
-    t0 = time.perf_counter()
-    acc = None
-    for i in range(N_IMAGES):
-        m = pass1(state.params, state.batch_stats, imgs[i])
-        acc = m if acc is None else acc + m
-    for i in range(N_IMAGES):
-        r, v = pass2(state.params, state.batch_stats, imgs[i], spxs[i])
-    _ = float(jnp.sum(r)) + float(jnp.sum(v)) + float(jnp.sum(acc))
-    dt = time.perf_counter() - t0
-    # one full selector sweep = 2 passes over the pool; report per pool
-    # image (both passes included), matching how a round consumes it
-    img_per_s = N_IMAGES / dt
-    print(json.dumps({"metric": "pool_scoring_throughput",
-                      "value": round(img_per_s, 3),
-                      "unit": "pool-images/sec/chip (both passes)"}))
-    return img_per_s
+        t0 = time.perf_counter()
+        acc = None
+        for x in imgs:
+            m = pass1(state.params, state.batch_stats, x)
+            acc = m if acc is None else acc + m
+        outs = [pass2(state.params, state.batch_stats, x, s)
+                for x, s in zip(imgs, spxs)]
+        _ = float(jnp.sum(acc)) + sum(
+            float(jnp.sum(r)) + float(jnp.sum(v)) for r, v in outs)
+        dt = time.perf_counter() - t0
+        # one full selector sweep = 2 passes over the pool; report per pool
+        # image (both passes included), matching how a round consumes it
+        img_per_s = N_IMAGES / dt
+        best = max(best, img_per_s)
+        print(json.dumps({"metric": f"pool_scoring_throughput_b{B}",
+                          "value": round(img_per_s, 3),
+                          "unit": "pool-images/sec/chip (both passes)"}))
+    return best
 
 
 def bench_plbl():
