@@ -590,6 +590,48 @@ def seg_sum_onehot_matmul(values: jax.Array, sid: jax.Array, num_segments: int,
 # ---------------------------------------------------------------------------
 
 
+def _packed_per_image_sort(sid2, B, HW, nseg):
+    """Per-image packed sort of the (retired) segment-id map.
+
+    The global path stable-sorts P (key, iota) int32 pairs. Here each
+    image's rows get one uint32 word `local_sid << pix_bits | local_pix`
+    and a batched single-key sort over (B, HW) runs instead: half the
+    sorted bytes, no stability machinery (keys are unique — the pixel
+    bits tie-break exactly like the stable sort's iota), and the
+    concatenated per-image results are globally sorted because global
+    sid = b*nseg + local is monotone in (b, local).
+
+    Returns (order (P,) int32 global pixel order, starts (S,), ends (S,),
+    n_valid_img (B,) int32 count of non-retired rows per image block).
+    Requires sid2's invalid marker == B*nseg and
+    (HW-1).bit_length() + nseg.bit_length() <= 32 (caller checks).
+
+    Measured on the v5e-lite tunnel chip at stage-1 shapes: 28.94 vs
+    29.49 img/s for the global stable kv-sort — the batched dimension-1
+    sort lowers WORSE than one long 1D sort there, so this is opt-in
+    (MULACTSEG_PERIMAGE_SORT=1) for re-evaluation on other TPU
+    generations.
+    """
+    pix_bits = (HW - 1).bit_length()
+    local = sid2.reshape(B, HW)
+    offs = (jnp.arange(B, dtype=jnp.int32) * nseg)[:, None]
+    local = jnp.where(local < B * nseg, local - offs, nseg).astype(jnp.uint32)
+    pix = jax.lax.broadcasted_iota(jnp.uint32, (B, HW), 1)
+    packed = (local << pix_bits) | pix
+    (packed,) = jax.lax.sort((packed,), dimension=1, is_stable=False,
+                             num_keys=1)
+    img_off = (jnp.arange(B, dtype=jnp.int32) * HW)[:, None]
+    order = (packed & jnp.uint32((1 << pix_bits) - 1)).astype(jnp.int32)
+    order = (order + img_off).reshape(-1)
+    bounds = jnp.arange(nseg + 1, dtype=jnp.uint32) << pix_bits
+    bnd = jax.vmap(lambda row: jnp.searchsorted(row, bounds,
+                                                side="left"))(packed)
+    bnd = bnd.astype(jnp.int32)
+    starts = (bnd[:, :nseg] + img_off).reshape(-1)
+    ends = (bnd[:, 1:] + img_off).reshape(-1)
+    return order, starts, ends, bnd[:, nseg]
+
+
 def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
     from mulactseg_tpu.ops.segment_pallas import (
         NCHW_CHUNK,
@@ -617,30 +659,50 @@ def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
     sid2 = jnp.where(col0s, sb,
                      jnp.where(eq, num_segments, sb)).reshape(P)
 
-    ctx = seg_context(sid2, num_segments)
     v = jax.lax.optimization_barrier(v)
     CH = int(_os.environ.get("MULACTSEG_GATHER_CHUNK", "65536"))
-    n_valid = ctx.ends[-1]
+    nseg_l = num_segments // B
+    pix_bits = (HW - 1).bit_length()
+    if (num_segments == B * nseg_l and HW % CH == 0
+            and pix_bits + nseg_l.bit_length() <= 32
+            and _os.environ.get("MULACTSEG_PERIMAGE_SORT") == "1"):
+        order, starts, ends, nv_img = _packed_per_image_sort(
+            sid2, B, HW, nseg_l)
+
+        def chunk_live(base):
+            # CH divides HW, so each gather chunk lies inside one image
+            # block; live iff it starts before that image's retired tail
+            b = base // HW
+            nv = jax.lax.dynamic_index_in_dim(nv_img, b, keepdims=False)
+            return (base < P) & (base - b * HW < nv)
+    else:
+        ctx = seg_context(sid2, num_segments)
+        order, starts, ends = ctx.order, ctx.starts, ctx.ends
+        n_valid = ctx.ends[-1]
+
+        def chunk_live(base):
+            return base < n_valid
+
     P_pad = (P + CH - 1) // CH * CH + CH
-    order_p = jnp.pad(ctx.order, (0, P_pad - P))
+    order_p = jnp.pad(order, (0, P_pad - P))
 
     def gather_chunk(c, _):
         base = c * CH
         idx = jax.lax.dynamic_slice(order_p, (base,), (CH,))
         blk = jax.lax.cond(
-            base < n_valid,
+            chunk_live(base),
             lambda: jnp.take(v, idx, axis=0),
             lambda: jnp.zeros((CH, v.shape[1]), v.dtype))
         return c + 1, blk
 
     _, g = jax.lax.scan(gather_chunk, 0, None, length=P_pad // CH)
     g = g.reshape(P_pad, v.shape[1])
-    vals, pos = segment_max_pallas(g, ctx.starts, ctx.ends, fill=0.0,
+    vals, pos = segment_max_pallas(g, starts, ends, fill=0.0,
                                    interpret=_pallas_interpret(),
                                    pre_padded=True)
     vals, pos = vals[:, :C], pos[:, :C]
     order_pad = jnp.concatenate(
-        [ctx.order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
+        [order.astype(jnp.int32), jnp.full((1,), P, jnp.int32)])
     pix2 = order_pad[jnp.clip(pos, 0, P)]  # pre-reduced row index
     blk_i = pix2 // R
     off = pix2 % R
@@ -670,7 +732,12 @@ def segment_softmax_max_nchw(logits_cs, sid, num_segments, temp):
     ((S, C) max softmax(logits/temp) prob per segment/class, (S, C)
     argmax pixel index with P as the absent-segment marker). Same
     semantics as segment_softmax_max(scaled_rows, sid, S) with the
-    temperature folded in."""
+    temperature folded in.
+
+    Contract (the batch-folded layout lossdecomp_fused produces): rows of
+    image b carry sids in {b*nseg, ..., (b+1)*nseg - 1} or the invalid
+    marker num_segments, with nseg = num_segments // B — the per-image
+    packed sort relies on it."""
     HW = logits_cs.shape[2]
     from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
 

@@ -6,6 +6,7 @@ kernel in interpret mode."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mulactseg_tpu.losses.fused import (
     bits_to_multihot,
@@ -314,9 +315,14 @@ def test_prereduce_nchw_matches_row_kernel():
     np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
 
 
-def test_segment_softmax_max_nchw_matches_row(monkeypatch):
+@pytest.mark.parametrize("gather_chunk", [None, "1024"])
+def test_segment_softmax_max_nchw_matches_row(monkeypatch, gather_chunk):
     """NCHW group-term entry point (kernel impl, interpret mode) matches
-    the row-major segment_softmax_max forward and backward."""
+    the row-major segment_softmax_max forward and backward.
+
+    gather_chunk=1024 divides HW and (with MULACTSEG_PERIMAGE_SORT=1)
+    activates the opt-in per-image packed-sort path — both must agree
+    with the row-major reference."""
     from mulactseg_tpu.ops.segment import (
         segment_softmax_max,
         segment_softmax_max_nchw,
@@ -324,6 +330,9 @@ def test_segment_softmax_max_nchw_matches_row(monkeypatch):
     from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
 
     monkeypatch.setenv("MULACTSEG_FORCE_PALLAS_INTERPRET", "1")
+    if gather_chunk is not None:
+        monkeypatch.setenv("MULACTSEG_GATHER_CHUNK", gather_chunk)
+        monkeypatch.setenv("MULACTSEG_PERIMAGE_SORT", "1")
     rng = np.random.RandomState(13)
     B, C, HW, S = 2, 6, NCHW_CHUNK, 40
     temp = 1.0  # unsaturated probs so the loss comparison has signal
