@@ -62,7 +62,7 @@ def _joint_loss(cfg, slice_last):
 
 
 def _lossdecomp_loss(cfg):
-    def fn(logits, batch):
+    def fn(logits, batch, nchw=False):
         if "target_bits" in batch:
             # fast path: loader-packed per-pixel candidate bitmasks kill
             # the latency-bound (S,C)-table row gathers (losses/fused.py)
@@ -72,14 +72,20 @@ def _lossdecomp_loss(cfg):
                 logits, batch["target_bits"], batch["target"], batch["spx"],
                 nseg=cfg.nseg, coeff=cfg.coeff, coeff_mc=cfg.coeff_mc,
                 coeff_gm=cfg.coeff_gm, multi_ce_temp=cfg.multi_ce_temp,
-                group_ce_temp=cfg.group_ce_temp)
+                group_ce_temp=cfg.group_ce_temp, nchw=nchw)
         else:
+            if nchw:
+                logits = jnp.transpose(logits, (0, 2, 3, 1))
             total, aux = lossdecomp(
                 logits, batch["target"], batch["spx"], batch["spmask"],
                 nseg=cfg.nseg, coeff=cfg.coeff, coeff_mc=cfg.coeff_mc,
                 coeff_gm=cfg.coeff_gm, multi_ce_temp=cfg.multi_ce_temp,
                 group_ce_temp=cfg.group_ce_temp)
         return _zero_if_nan(total), aux
+    # the model can hand this criterion (B, C, H, W) logits (DeepLabV3
+    # nchw_logits=True): the layout change then happens at head
+    # resolution instead of as a full-res transpose pair
+    fn.accepts_nchw = True
     return fn
 
 
@@ -504,13 +510,18 @@ def _build_loss_fn(model, cfg, criterion):
     needs_feat = getattr(criterion, "needs_feat", False)
     needs_weak = getattr(criterion, "needs_weak_forward", False)
     needs_rng = getattr(criterion, "needs_rng", False)
+    # NCHW logits hand-off only on the plain path (feat/rng criteria keep
+    # the NHWC public contract)
+    wants_nchw = (getattr(criterion, "accepts_nchw", False)
+                  and not (needs_feat or needs_rng))
     total_itrs = float(cfg.finetune_itrs)
 
     def loss_fn(params, batch_stats, batch, rng, step_no):
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng})
+            rngs={"dropout": rng},
+            **({"nchw_logits": True} if wants_nchw else {}))
         if needs_weak:
             # weak-view eval-mode forward for the async hier criteria
             batch = dict(batch)
@@ -534,7 +545,8 @@ def _build_loss_fn(model, cfg, criterion):
             total, aux = criterion(out, batch,
                                    {"rng": jax.random.fold_in(rng, 1)})
         else:
-            total, aux = criterion(out, batch)
+            total, aux = (criterion(out, batch, nchw=True) if wants_nchw
+                          else criterion(out, batch))
         return total, (aux, mutated["batch_stats"])
 
     return loss_fn

@@ -66,31 +66,43 @@ def bits_to_multihot(bits, num_classes):
 
 def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
                      coeff=16.0, coeff_mc=8.0, coeff_gm=1.0,
-                     multi_ce_temp=0.1, group_ce_temp=0.1):
+                     multi_ce_temp=0.1, group_ce_temp=0.1, nchw=False):
     """coeff*CE(one-hot spx) + coeff_mc*MC(multi-hot spx) +
     coeff_gm*Group(multi-hot spx), normalizers 1 + count, exactly as
-    losses/partial.lossdecomp. Returns (total, aux)."""
+    losses/partial.lossdecomp. Returns (total, aux).
+
+    nchw=True: logits arrive (B, C, H, W) straight from the model
+    (DeepLabV3 nchw_logits) — no full-res layout change in the loss
+    (measured perf-neutral on the current chip, see DeepLabV3)."""
     from mulactseg_tpu.ops.pixel_loss_pallas import (
         CHUNK,
         pixel_partial_ce,
         pixel_partial_ce_nchw,
     )
 
-    B, H, W, C = logits.shape
+    if nchw:
+        B, C, H, W = logits.shape
+    else:
+        B, H, W, C = logits.shape
     N = B * H * W
-    # keep the model's dtype: the CE/MC Pallas kernel and the segment
-    # gather both cast to f32 in-register, so materializing a lane-padded
-    # copy here would only burn HBM bandwidth
-    lg = logits.reshape(N, C)
-    bits = target_bits.reshape(N).astype(jnp.int32)
 
     # --- CE + MC terms: one streaming Pallas pass over the logits ---------
     nchw_ok = (H * W) % CHUNK == 0
+    if nchw and not nchw_ok:
+        # odd spatial size: fall back to the row-major kernels
+        logits = jnp.transpose(logits, (0, 2, 3, 1))
+        nchw = False
+    # keep the model's dtype: the CE/MC Pallas kernel and the segment
+    # gather both cast to f32 in-register, so materializing a lane-padded
+    # copy here would only burn HBM bandwidth
+    lg = None if nchw else logits.reshape(N, C)
+    bits = target_bits.reshape(N).astype(jnp.int32)
     if nchw_ok:
         # channels-on-sublanes: reads the logits through their native
-        # NCHW layout (free bitcast, no 20->128 lane padding — the
-        # row-major view costs a ~190 MB relayout + 6.4x padded reads)
-        lgc = jnp.transpose(logits, (0, 3, 1, 2)).reshape(B, C, H * W)
+        # NCHW layout (no 20->128 lane padding — the row-major view
+        # costs a ~190 MB relayout + 6.4x padded reads)
+        lgc = (logits.reshape(B, C, H * W) if nchw
+               else jnp.transpose(logits, (0, 3, 1, 2)).reshape(B, C, H * W))
         bits3 = target_bits.reshape(B, 1, H * W).astype(jnp.int32)
         oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce_nchw(
             lgc, bits3, multi_ce_temp)

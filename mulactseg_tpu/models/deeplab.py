@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -187,7 +188,16 @@ class DeepLabV3(nn.Module):
     """Backbone + head + bilinear upsample to the input size
     (models/segmentation/utils.py:20-34). aux_classifier, when set, taps
     the backbone's low_level features and returns (logits, aux) — the
-    _SimpleSegmentationModel aux contract."""
+    _SimpleSegmentationModel aux contract.
+
+    nchw_logits=True returns (B, C, H, W) instead of (B, H, W, C): the
+    NHWC->NCHW transpose happens at HEAD resolution (16x fewer pixels)
+    before the bilinear upsample, for train criteria that consume the
+    native NCHW layout (losses/fused.py). Measured perf-NEUTRAL on the
+    current chip (29.6 both ways — XLA already stores the full-res
+    logits NCHW-physical, so the logical transpose was near-free); kept
+    because it makes the loss's layout explicit instead of relying on
+    XLA's layout assignment, which may differ on other hardware."""
 
     backbone: nn.Module
     classifier: nn.Module
@@ -195,7 +205,7 @@ class DeepLabV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_feat: bool = False,
-                 return_aux: bool = False):
+                 return_aux: bool = False, nchw_logits: bool = False):
         input_size = x.shape[1:3]
         feats = self.backbone(x, train)
         if return_aux:
@@ -211,4 +221,11 @@ class DeepLabV3(nn.Module):
             logits = resize_bilinear(logits, input_size).astype(jnp.float32)
             return feat, logits
         logits = self.classifier(feats, train)
+        if nchw_logits:
+            lg = jnp.transpose(logits, (0, 3, 1, 2))  # head res — cheap
+            B, C = lg.shape[:2]
+            lg = jax.image.resize(
+                lg, (B, C, input_size[0], input_size[1]),
+                method="bilinear", antialias=False)
+            return lg.astype(jnp.float32)
         return resize_bilinear(logits, input_size).astype(jnp.float32)

@@ -113,3 +113,37 @@ def test_data_parallel_step_on_mesh(setup):
     batch = shard_batch(batch, mesh)
     state2, aux = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(aux["train_loss"]))
+
+
+def test_nchw_logits_handoff_matches_nhwc(setup):
+    """The NCHW logits hand-off (DeepLabV3 nchw_logits=True -> criterion
+    nchw=True) must give the same loss and parameter gradients as the
+    NHWC path — the transpose just moves to head resolution."""
+    from mulactseg_tpu.engine.train import _build_loss_fn, get_criterion
+
+    cfg, ds, model, state = setup
+    b = _batch(ds, [0, 1])
+    batch = {k: jnp.asarray(b[k])
+             for k in ("images", "target", "spx", "spmask", "target_bits")
+             if k in b}
+    rng = jax.random.PRNGKey(3)
+
+    crit_nchw = get_criterion(cfg)
+    assert getattr(crit_nchw, "accepts_nchw", False)
+    crit_plain = get_criterion(cfg)
+    del crit_plain.accepts_nchw
+
+    def total(loss_fn, params):
+        return loss_fn(params, state.batch_stats, batch, rng,
+                       jnp.asarray(0))[0]
+
+    f1 = _build_loss_fn(model, cfg, crit_nchw)
+    f2 = _build_loss_fn(model, cfg, crit_plain)
+    v1, g1 = jax.value_and_grad(lambda p: total(f1, p))(state.params)
+    v2, g2 = jax.value_and_grad(lambda p: total(f2, p))(state.params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(g1)
+    l2 = jax.tree_util.tree_leaves(g2)
+    for a, c in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)
