@@ -71,12 +71,18 @@ class FastBatchNorm(nn.Module):
             # converting reduces (f32 accumulate straight from the compute
             # dtype) instead of a materialized f32 cast of the whole
             # activation: the cast copy cost ~0.4 ms/pass at stage-1
-            # shapes (tools_dev/bench_bn.py)
+            # shapes (tools_dev/bench_bn.py). The sum of squares runs as a
+            # self-contraction: bf16*bf16 products are EXACT in the f32
+            # accumulator and no f32 cast of the activation is staged
+            # (astype+square+sum left a ~3 ms/step formatting pass in the
+            # profile at stage-1 shapes).
             import numpy as _np
 
             n = float(_np.prod([x.shape[a] for a in axes]))
             m = jnp.sum(x, axis=axes, dtype=jnp.float32) / n
-            m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axes) / n
+            xf = x.reshape(-1, x.shape[-1])
+            m2 = jnp.einsum("pc,pc->c", xf, xf,
+                            preferred_element_type=jnp.float32) / n
             v = jnp.maximum(m2 - jnp.square(m), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value +
