@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH, H, W, NSEG, C = 4, 768, 768, 2048, 19
-K = 8
+K = int(os.environ.get("PROF_K", "8"))
 
 
 def main(mode="fused"):
