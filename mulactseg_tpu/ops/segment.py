@@ -641,11 +641,23 @@ def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
     from mulactseg_tpu.ops.segment_pallas import (
         NCHW_CHUNK,
         prereduce_softmax_nchw,
+        scatter_softmax_max_nchw,
         segment_max_pallas,
     )
 
     B, C, HW = logits_cs.shape
     P = B * HW
+    if _os.environ.get("MULACTSEG_NCHW_SCATTER", "0") != "0":
+        # sort-free path: softmax + run merge + VMEM scatter-max in one
+        # kernel (segment_pallas.scatter_softmax_max_nchw) — no (P, 128)
+        # gather source in HBM, no key sort, no latency-bound gather.
+        # OPT-IN until measured on the target chip: the data-dependent
+        # scalar walk makes Mosaic compiles very slow (>30 min observed),
+        # which the persistent cache only amortizes after a first run
+        dbl = int(_os.environ.get("MULACTSEG_NCHW_SCATTER_DBL", "6"))
+        return scatter_softmax_max_nchw(
+            logits_cs, sid.reshape(B, 1, HW), temp, num_segments,
+            interpret=_pallas_interpret(), dbl=dbl)
     # merge width (O(R) lane rolls in the kernel). R=16 retires ~4x more
     # rows than R=4 before the sorted gather but measured EQUAL end-to-end
     # (29.00 vs 28.99 img/s): past R=4 the group term is bounded by the

@@ -430,6 +430,133 @@ def _prereduce_nchw_kernel(lg_ref, sid_ref, outv_ref, choice_ref, *,
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
 
+# ---------------------------------------------------------------------------
+# Sort-free NCHW group term: softmax + run merge + scatter-max in ONE kernel.
+#
+# The sorted pipeline (prereduce -> HBM gather source -> key sort -> chunked
+# gather -> run-walk kernel) costs ~19 ms/step at stage-1 shapes, most of it
+# HBM latency: the (P, 128) bf16 gather source is a ~600 MB round trip and
+# the sorted gather is latency-bound (~13.5 ns/row). This kernel never
+# leaves VMEM: per 2048-pixel chunk it softmaxes the (C, CHUNK) logits
+# block, merges raster runs of equal segment id with a lane-roll doubling
+# scan (val, first-argmax, and reach per lane), transposes the merged
+# columns to rows once, and then a scalar walk jumps run-to-run doing one
+# (1, 128) read-modify-write per run into a VMEM-resident (S_pad, 128)
+# accumulator pair that lives across all grid cells (constant out-block
+# index map). Grid cells execute in raster order on the single TPU core,
+# and updates use strict >, so ties keep the first pixel in raster order —
+# exactly the sorted pipeline's first-argmax semantics.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
+                             scr_r, *, inv_temp, P, invalid, dbl):
+    cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+
+    @pl.when(cell == 0)
+    def _():
+        accv[...] = jnp.zeros_like(accv)
+        acci[...] = jnp.full(acci.shape, P, acci.dtype)
+
+    lg = lg_ref[0].astype(jnp.float32) * inv_temp      # (C, CHUNK)
+    m = jnp.max(lg, axis=0, keepdims=True)
+    e = jnp.exp(lg - m)
+    p = e / jnp.sum(e, axis=0, keepdims=True)          # per-pixel softmax
+    sid = sid_ref[0]                                   # (1, CHUNK) int32
+    C, CH = p.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+    base = cell * CH                                   # global pixel base
+    val = p
+    idx = jnp.broadcast_to(lane + base, (C, CH))
+    reach = jnp.ones((1, CH), jnp.int32)
+    # doubling scan: after step k, reach[l] = min(run_len(l), 2^k) and
+    # val/idx[l] = (max, first-argmax) over lanes [l, l + reach[l])
+    d = 1
+    for _ in range(dbl):
+        back = CH - d                                  # left-rotate by d
+        ext = ((reach == d) & (pltpu.roll(sid, back, 1) == sid)
+               & (lane + d < CH))
+        v_d = pltpu.roll(val, back, 1)
+        take = ext & (v_d > val)
+        val = jnp.where(take, v_d, val)
+        idx = jnp.where(take, pltpu.roll(idx, back, 1), idx)
+        reach = jnp.where(ext, reach + pltpu.roll(reach, back, 1), reach)
+        d *= 2
+    # one VMEM transpose so the walk reads (1, 128) rows; pad lanes are 0
+    # (never beat the accumulator's 0-init, so they stay (0, P))
+    scr_v[:, :C] = val.T
+    scr_v[:, C:] = jnp.zeros((CH, LANES - C), jnp.float32)
+    scr_i[:, :C] = idx.T
+    scr_i[:, C:] = jnp.zeros((CH, LANES - C), jnp.int32)
+    scr_r[...] = reach
+
+    def cond(l):
+        return l < CH
+
+    def body(l):
+        s = sid_ref[0, 0, l]
+
+        @pl.when(s != invalid)
+        def _():
+            row = scr_v[pl.ds(l, 1), :]
+            old = accv[pl.ds(s, 1), :]
+            take = row > old
+            accv[pl.ds(s, 1), :] = jnp.where(take, row, old)
+            oldi = acci[pl.ds(s, 1), :]
+            acci[pl.ds(s, 1), :] = jnp.where(take, scr_i[pl.ds(l, 1), :],
+                                             oldi)
+
+        return l + scr_r[0, l]
+
+    lax.while_loop(cond, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "num_segments",
+                                             "interpret", "dbl"))
+def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
+                             num_segments: int, interpret: bool = False,
+                             dbl: int = 6):
+    """(B, C<=128, HW) logits (native NCHW view, HW % NCHW_CHUNK == 0) +
+    (B, 1, HW) int32 GLOBAL segment ids (invalid marker == num_segments)
+    -> ((S, C) f32 max softmax(logits/temp) prob, (S, C) int32 first-argmax
+    global pixel index, P for absent segments). Sort-free equivalent of
+    segment_softmax_max_nchw's forward (see module comment above).
+
+    dbl: doubling-scan depth; runs longer than 2^dbl lanes split into
+    multiple accumulator updates (still exact — the scatter merges them).
+    """
+    B, C, HW = logits_cs.shape
+    assert HW % NCHW_CHUNK == 0, HW
+    assert C <= LANES, C
+    G = HW // NCHW_CHUNK
+    P = B * HW
+    S_pad = -(-(num_segments + 1) // 8) * 8
+    accv, acci = pl.pallas_call(
+        functools.partial(_scatter_max_nchw_kernel, inv_temp=1.0 / temp,
+                          P=P, invalid=num_segments, dbl=dbl),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, C, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((1, 1, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((S_pad, LANES), lambda b, i: (0, 0)),
+            pl.BlockSpec((S_pad, LANES), lambda b, i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((S_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((S_pad, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((NCHW_CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((NCHW_CHUNK, LANES), jnp.int32),
+            pltpu.VMEM((1, NCHW_CHUNK), jnp.int32),
+        ],
+        interpret=interpret,
+    )(logits_cs, sid3.astype(jnp.int32))
+    return accv[:num_segments, :C], acci[:num_segments, :C]
+
+
 @functools.partial(jax.jit, static_argnames=("R", "temp", "interpret"))
 def prereduce_softmax_nchw(logits_cs, sid3, R: int, temp: float,
                            interpret: bool = False):

@@ -3,6 +3,8 @@ reference-faithful implementation (losses/partial.lossdecomp): identical
 values AND gradients, plus the bit packer and the softmax-fused segment-max
 kernel in interpret mode."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -330,6 +332,10 @@ def test_segment_softmax_max_nchw_matches_row(monkeypatch, gather_chunk):
     from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
 
     monkeypatch.setenv("MULACTSEG_FORCE_PALLAS_INTERPRET", "1")
+    # pin the legacy sorted pipeline: this test compares bf16-rounding
+    # points with the row prereduce path; the default sort-free scatter
+    # path is f32-exact and has its own dense-exact tests above
+    monkeypatch.setenv("MULACTSEG_NCHW_SCATTER", "0")
     if gather_chunk is not None:
         monkeypatch.setenv("MULACTSEG_GATHER_CHUNK", gather_chunk)
         monkeypatch.setenv("MULACTSEG_PERIMAGE_SORT", "1")
@@ -370,6 +376,84 @@ def test_segment_softmax_max_nchw_matches_row(monkeypatch, gather_chunk):
     g2_nchw = np.swapaxes(np.asarray(g2).reshape(B, HW, C), 1, 2)
     np.testing.assert_allclose(np.asarray(g1), g2_nchw, rtol=0.1,
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("dbl", [2, 6, 11])
+def test_scatter_softmax_max_nchw_matches_dense(dbl):
+    """Sort-free scatter-max kernel (interpret mode) reproduces the dense
+    f32 reference exactly — values and first-argmax pixel indices — at
+    every doubling depth (dbl < log2(CHUNK) splits long runs into several
+    accumulator updates, which must still merge exactly)."""
+    from mulactseg_tpu.ops.segment import seg_context, seg_max_argmax
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        scatter_softmax_max_nchw,
+    )
+
+    rng = np.random.RandomState(23)
+    B, C, HW, S_img = 2, 6, 2 * NCHW_CHUNK, 9
+    S = B * S_img
+    # exactly-representable temp: the kernel scales by 1/temp where the
+    # dense path divides by temp — at temp 0.1 the two differ by 1 ulp,
+    # which puts different (saturated) pixels in the p == 1.0 tie set and
+    # flips the first-argmax. x * 2.0 == x / 0.5 exactly, so the only
+    # ties are the constructed duplicate columns.
+    temp = 0.5
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    # raster runs (some crossing chunk borders) + dummy stretches; a few
+    # duplicated probability rows to exercise first-argmax tie-breaking
+    sid = np.repeat(rng.randint(0, S_img + 1, (B, HW // 16)), 16, axis=1)
+    lg[:, :, 1::2] = lg[:, :, ::2]  # adjacent pixel pairs tie exactly
+    gsid = np.where(sid >= S_img, S,
+                    sid + np.arange(B)[:, None] * S_img).reshape(-1)
+
+    mx, pix = scatter_softmax_max_nchw(
+        jnp.asarray(lg), jnp.asarray(gsid.reshape(B, 1, HW)), temp, S,
+        interpret=True, dbl=dbl)
+    rows = jnp.asarray(np.swapaxes(lg, 1, 2).reshape(B * HW, C))
+    probs = jax.nn.softmax(rows / temp, axis=-1)
+    want_mx, want_pix = seg_max_argmax(
+        seg_context(jnp.asarray(gsid), S), probs, fill=0.0)
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(want_mx),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
+
+
+def test_segment_softmax_max_nchw_scatter_grad_matches_dense():
+    """The NCHW entry point on the scatter path (opt-in) agrees with
+    the dense fallback in value and gradient — pins the custom-VJP wiring
+    over the new forward."""
+    from mulactseg_tpu.ops.segment import (
+        _ssm_nchw_dense,
+        segment_softmax_max_nchw,
+    )
+    from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
+
+    os.environ["MULACTSEG_FORCE_PALLAS_INTERPRET"] = "1"
+    os.environ["MULACTSEG_NCHW_SCATTER"] = "1"
+    try:
+        rng = np.random.RandomState(29)
+        B, C, HW, S_img = 2, 6, NCHW_CHUNK, 11
+        S = B * S_img
+        lg = rng.randn(B, C, HW).astype(np.float32)
+        sid = np.repeat(rng.randint(0, S_img + 1, (B, HW // 8)), 8, axis=1)
+        gsid = np.where(sid >= S_img, S,
+                        sid + np.arange(B)[:, None] * S_img).reshape(-1)
+
+        def loss(x, fn):
+            mx, _ = fn(x, jnp.asarray(gsid), S, 0.5)
+            return jnp.sum(-jnp.log(mx + 1e-8) * (mx > 0))
+
+        l1, g1 = jax.value_and_grad(loss)(jnp.asarray(lg),
+                                          fn=segment_softmax_max_nchw)
+        l2, g2 = jax.value_and_grad(loss)(jnp.asarray(lg),
+                                          fn=_ssm_nchw_dense)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-7)
+    finally:
+        del os.environ["MULACTSEG_FORCE_PALLAS_INTERPRET"]
+        del os.environ["MULACTSEG_NCHW_SCATTER"]
 
 
 def test_segment_softmax_max_nchw_dense_fallback():

@@ -95,7 +95,7 @@ def main(run_len=17, live_frac=0.6, G=1152):
     rng = np.random.RandomState(0)
     P = G * CHUNK
     # raster runs of ~run_len lanes; live_frac of runs carry a real sid
-    n_runs = P // run_len + 1
+    n_runs = P // 2 + 1  # lens >= 2 guarantees sum(lens) >= P
     lens = np.clip(rng.poisson(run_len, n_runs), 2, 4 * run_len)
     ids = np.where(rng.rand(n_runs) < live_frac,
                    rng.randint(0, SEG - 8, n_runs), SEG - 8)
