@@ -121,9 +121,11 @@ def sample_dominant_map(gt: np.ndarray, spx: np.ndarray, nseg: int,
 class RegionStatsDataset:
     """Loader-name-keyed wrapper over a RegionDatasetOr base serving the
     four analysis item contracts (mode = 'count_all' | 'visualize_minor'
-    | 'dom_w_gt' | 'dominant_sample'). Identity transform, full-res —
-    these are analysis loaders, not training loaders (except dom_w_gt /
-    dominant_sample which reuse the base's transform when present)."""
+    | 'dom_w_gt' | 'dominant_sample'). count_all / visualize_minor are
+    full-res analysis loaders (identity transform); dom_w_gt /
+    dominant_sample are TRAINING loaders that apply the base's train
+    transform (rebuilt with mode-correct pad values) before masking /
+    sampling, like the reference."""
 
     def __init__(self, cfg, base, mode: str, *,
                  pred_ignore: bool = False, generate_ignore: bool = False,
@@ -133,7 +135,23 @@ class RegionStatsDataset:
         self.mode = mode
         self.pred_ignore = pred_ignore
         self.generate_ignore = generate_ignore
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        # dom_w_gt / dominant_sample are TRAINING loaders in the reference
+        # (transform applied before masking/sampling: region_cityscapes_
+        # dom_w_gt.py:65, region_cityscapes_dominant_all_sample.py:31); the
+        # base's train transform is rebuilt with mode-correct pad_values —
+        # its own list matches the base's label tuple, not this wrapper's.
+        self.transform = None
+        bt = getattr(base, "transform", None)
+        if bt is not None and mode in ("dom_w_gt", "dominant_sample"):
+            from mulactseg_tpu.data.transforms import PairedTransform
+
+            pads = ([cfg.ignore_idx, cfg.ignore_idx, cfg.nseg]
+                    if mode == "dom_w_gt" else [cfg.ignore_idx, cfg.nseg])
+            self.transform = PairedTransform(
+                scale_range=bt.scale_range, crop_size=bt.crop_size,
+                pad_values=pads, img_pad=bt.img_pad, hflip=bt.hflip,
+                resize_to=bt.resize_to, seed=seed)
 
     # the active-set machinery (load_datalist etc.) talks to these
     @property
@@ -156,14 +174,19 @@ class RegionStatsDataset:
         return len(self.base.im_idx)
 
     def __getitem__(self, index: int) -> Dict:
-        from mulactseg_tpu.data.datasets import normalize, open_spx
+        from mulactseg_tpu.data.datasets import (
+            normalize,
+            open_image,
+            open_label,
+            open_spx,
+        )
         from mulactseg_tpu.tools.label_assignment import (
             dominant_label_for_image,
         )
 
         cfg = self.cfg
         img_p, lbl_p, spx_p = self.base.im_idx[index]
-        gt = self.base.encode_fn(np.asarray(Image.open(lbl_p)))
+        gt = self.base.encode_fn(open_label(lbl_p))
         spx = open_spx(spx_p)
         selected = self.base.suppix.get(spx_p, [])
         if self.mode == "count_all":
@@ -181,31 +204,53 @@ class RegionStatsDataset:
                     "superpixel": spx.astype(np.int32),
                     "target": gt.astype(np.int32),
                     "fname": self.base.im_idx[index]}
-        image = normalize(np.asarray(Image.open(img_p).convert("RGB")))
+        image_u8 = open_image(img_p)
         if self.mode == "dominant_sample":
+            # reference order (region_cityscapes_dominant_all_sample.py:
+            # 31-52): transform (scale/crop/flip) FIRST, then sample each
+            # selected superpixel from the counts visible in the crop.
+            # RNG is per-(seed, index), not a shared stream: DataProvider
+            # fetches items from a thread pool, so a shared RandomState
+            # would make sampled labels depend on thread schedule (the
+            # reference's sequential torch workers don't have this issue).
+            if self.transform is not None:
+                image, (raw, spx) = self.transform(
+                    image_u8, [open_label(lbl_p), spx])
+                gt = self.base.encode_fn(raw)
+            else:
+                image = normalize(image_u8)
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + index) % (2 ** 32))
             dom = sample_dominant_map(gt, spx, cfg.nseg, cfg.num_classes,
-                                      selected, self.rng,
+                                      selected, rng,
                                       self.generate_ignore, cfg.ignore_idx)
             return {"images": image, "labels": dom.astype(np.int32),
-                    "spx": spx.astype(np.int32),
+                    "spx": np.asarray(spx).astype(np.int32),
                     "fnames": self.base.im_idx[index]}
         if self.mode == "dom_w_gt":
+            # dominant map computed full-res (== the offline dominant file
+            # the reference loads from lbl_fname), pred_ignore substitution
+            # BEFORE the transform, selection masking AFTER — the exact
+            # order of region_cityscapes_dom_w_gt.py:44-80
             dom = dominant_label_for_image(gt, spx, cfg.nseg,
                                            cfg.num_classes)
-            mask = np.isin(spx, np.asarray(selected, np.int64))
-            dom = np.where(mask, dom, cfg.ignore_idx)
-            precise = gt.copy()
+            precise = gt
             if self.pred_ignore:
                 # 255 -> extra class when the checkpoint predicts ignore
                 # (region_cityscapes_dom_w_gt.py:40,60)
-                dom = np.where(dom == cfg.ignore_idx, cfg.num_classes,
-                               dom)
-                dom = np.where(mask, dom, cfg.ignore_idx)
+                dom = np.where(dom == cfg.ignore_idx, cfg.num_classes, dom)
                 precise = np.where(precise == cfg.ignore_idx,
                                    cfg.num_classes, precise)
+            if self.transform is not None:
+                image, (dom, precise, spx) = self.transform(
+                    image_u8, [dom, precise, spx])
+            else:
+                image = normalize(image_u8)
+            mask = np.isin(spx, np.asarray(selected, np.int64))
+            dom = np.where(mask, dom, cfg.ignore_idx)
             return {"images": image, "target": dom.astype(np.int32),
-                    "labels": precise.astype(np.int32),
-                    "spx": spx.astype(np.int32),
+                    "labels": np.asarray(precise).astype(np.int32),
+                    "spx": np.asarray(spx).astype(np.int32),
                     "spmask": mask,
                     "fnames": self.base.im_idx[index]}
         raise KeyError(self.mode)

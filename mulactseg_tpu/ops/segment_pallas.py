@@ -455,7 +455,12 @@ def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
 
     @pl.when(cell == 0)
     def _():
-        accv[...] = jnp.zeros_like(accv)
+        # -1 init, NOT 0: softmax probs can underflow to exactly 0.0
+        # (e.g. temp 0.1 scales logits by 10; a >=~10.4 logit gap gives
+        # exp == 0.0 in f32), and a 0.0 row must still BEAT the init so
+        # present segments get a real argmax pixel. The caller maps
+        # never-updated rows (acci == P) back to the 0.0 fill.
+        accv[...] = jnp.full(accv.shape, -1.0, accv.dtype)
         acci[...] = jnp.full(acci.shape, P, acci.dtype)
 
     lg = lg_ref[0].astype(jnp.float32) * inv_temp      # (C, CHUNK)
@@ -482,8 +487,8 @@ def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
         idx = jnp.where(take, pltpu.roll(idx, back, 1), idx)
         reach = jnp.where(ext, reach + pltpu.roll(reach, back, 1), reach)
         d *= 2
-    # one VMEM transpose so the walk reads (1, 128) rows; pad lanes are 0
-    # (never beat the accumulator's 0-init, so they stay (0, P))
+    # one VMEM transpose so the walk reads (1, 128) rows; pad lanes get 0
+    # (they beat the -1 init but their columns are sliced off at return)
     scr_v[:, :C] = val.T
     scr_v[:, C:] = jnp.zeros((CH, LANES - C), jnp.float32)
     scr_i[:, :C] = idx.T
@@ -554,7 +559,11 @@ def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
         ],
         interpret=interpret,
     )(logits_cs, sid3.astype(jnp.int32))
-    return accv[:num_segments, :C], acci[:num_segments, :C]
+    mx, pix = accv[:num_segments, :C], acci[:num_segments, :C]
+    # the accumulator inits at -1 so that an exactly-0.0 max prob (f32
+    # softmax underflow) still wins and records its argmax pixel; absent
+    # (never-updated) entries map back to the sorted/dense paths' 0.0 fill
+    return jnp.where(pix == P, 0.0, mx), pix
 
 
 @functools.partial(jax.jit, static_argnames=("R", "temp", "interpret"))

@@ -419,6 +419,44 @@ def test_scatter_softmax_max_nchw_matches_dense(dbl):
     np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
 
 
+def test_scatter_softmax_max_nchw_underflow_zero_probs():
+    """Regression: at group temp 0.1 a >=~10.4 logit gap makes the f32
+    softmax underflow to exactly 0.0 for the trailing class at EVERY
+    pixel of a segment. The scatter kernel's accumulator must still
+    record a real argmax pixel for that (segment, class) — a 0.0 row has
+    to beat the init — or the fused loss drops the whole segment
+    (present = pix < P). Absent segments must keep the 0.0 fill."""
+    from mulactseg_tpu.ops.segment import seg_context, seg_max_argmax
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        scatter_softmax_max_nchw,
+    )
+
+    rng = np.random.RandomState(31)
+    B, C, HW, S_img = 1, 4, NCHW_CHUNK, 5
+    S = B * S_img
+    temp = 0.1
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    lg[:, 0, :] -= 40.0   # class 0 underflows everywhere: exp(-400+) == 0
+    lg[:, 1, :] += 40.0   # class 1 saturates to prob 1.0 everywhere
+    sid = np.repeat(rng.randint(0, S_img + 2, (B, HW // 32)), 32, axis=1)
+    gsid = np.where(sid >= S_img, S, sid).reshape(-1)  # ids S_img+ absent
+
+    mx, pix = scatter_softmax_max_nchw(
+        jnp.asarray(lg), jnp.asarray(gsid.reshape(B, 1, HW)), temp, S,
+        interpret=True, dbl=6)
+    rows = jnp.asarray(np.swapaxes(lg, 1, 2).reshape(B * HW, C))
+    probs = jax.nn.softmax(rows / temp, axis=-1)
+    want_mx, want_pix = seg_max_argmax(
+        seg_context(jnp.asarray(gsid), S), probs, fill=0.0)
+    present = np.asarray(want_pix) < B * HW
+    assert np.asarray(probs).min() == 0.0  # the underflow regime is hit
+    assert present[:, 0].any()             # incl. for class 0
+    np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(want_mx),
+                               rtol=1e-6)
+
+
 def test_segment_softmax_max_nchw_scatter_grad_matches_dense():
     """The NCHW entry point on the scatter path (opt-in) agrees with
     the dense fallback in value and gradient — pins the custom-VJP wiring

@@ -135,3 +135,25 @@ def test_region_stats_dataset_modes(tmp_path, fixture):
     item = RegionStatsDataset(cfg, base, "dom_w_gt", pred_ignore=True)[0]
     assert (item["target"][~item["spmask"]] == cfg.ignore_idx).all()
     assert (item["labels"] != 255).all()  # 255 -> C under pred_ignore
+
+    # train-loader modes apply the base's transform (reference order:
+    # transform BEFORE masking/sampling — region_cityscapes_dom_w_gt.py:65,
+    # region_cityscapes_dominant_all_sample.py:31); sampling is per-(seed,
+    # index) reproducible regardless of fetch-thread order
+    from mulactseg_tpu.data.transforms import PairedTransform
+
+    base.transform = PairedTransform(crop_size=(16, 16), seed=3)
+    # same seed -> same transform stream AND same per-index draw, even
+    # though each read advances the instance's transform rng
+    a = RegionStatsDataset(cfg, base, "dominant_sample", seed=7)[0]
+    b = RegionStatsDataset(cfg, base, "dominant_sample", seed=7)[0]
+    assert a["images"].shape == (16, 16, 3)
+    assert a["labels"].shape == (16, 16)
+    np.testing.assert_array_equal(a["labels"], b["labels"])
+    item = RegionStatsDataset(cfg, base, "dom_w_gt", pred_ignore=True)[0]
+    assert item["target"].shape == (16, 16)
+    assert item["spmask"].shape == (16, 16)
+    assert (item["target"][~item["spmask"]] == cfg.ignore_idx).all()
+    sp = item["spx"]
+    want_mask = np.isin(sp, np.asarray(selected))
+    np.testing.assert_array_equal(item["spmask"], want_mask)
