@@ -116,9 +116,10 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
     # batch folded into the segment axis (sid + b*nseg) so the whole batch
     # is ONE sort/gather/kernel and the backward scatter is un-vmapped
     # (vmapped scatters serialize into while loops on TPU)
-    shifts = jnp.arange(C, dtype=jnp.int32)
-    n_cand = jnp.sum((bits[:, None] >> shifts) & 1, axis=-1)
-    mh_pix = n_cand > 1
+    # candidate count via popcount on the low C bits — no (N, C)
+    # bit-expansion intermediate (lane-padded (N, 20) i32 costs real HBM)
+    mh_pix = jax.lax.population_count(
+        bits & jnp.int32((1 << C) - 1)) > 1
     off = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * nseg, H * W)
     sid = jnp.where(mh_pix, spx.reshape(N) + off, B * nseg)
     if nchw_ok:

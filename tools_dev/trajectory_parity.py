@@ -9,7 +9,10 @@ convention) and local batch statistics.
 
 Run: python tools_dev/trajectory_parity.py [--steps 200]
 Prints per-step losses every 20 steps and the max/mean relative gap.
-tests/test_trajectory_parity.py asserts the same at 60 steps.
+tests/test_trajectory_parity.py asserts the same at 60 steps (suite
+wall-clock); measured at 200 steps on this box (2026-08-17): plain CE
+mean 8.1e-4 / max 4.2e-3, lossdecomp mean 1.13e-2 / max 4.8e-2 —
+recorded in BASELINE.md.
 """
 
 import argparse
