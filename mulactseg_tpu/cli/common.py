@@ -54,8 +54,12 @@ def build_active_datasets(cfg):
     if cfg.loader.startswith("mseg"):
         return _build_mseg_datasets(cfg, encode)
 
+    if not cfg.or_labeling:
+        return _build_dominant_datasets(cfg, encode)
+
     tf_name = cfg.train_transform
-    if "ignore" in cfg.loader and "ignore" not in tf_name:
+    if ("ignore" in cfg.loader and "woignore" not in cfg.loader
+            and "ignore" not in tf_name):
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
     train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
     weak_size = (1024, 2048) if cfg.dataset == "cityscapes" else None
@@ -75,13 +79,20 @@ def build_active_datasets(cfg):
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
                             encode_fn=encode,
-                            ignore_gt_in_spmask="ignore" in cfg.loader,
+                            # 'woignore' must NOT trip the substring test:
+                            # or_oracle_woignore keeps 255 in spmask AND in
+                            # the oracle labels (region_cityscapes_or_
+                            # oracle_woignore.py:41-44)
+                            ignore_gt_in_spmask="ignore" in cfg.loader
+                            and "woignore" not in cfg.loader,
                             load_smaller_spx="hier" in cfg.method or
                             cfg.method.endswith("_mseg"),
                             async_views="async" in cfg.loader,
+                            async_weak_hflip="asyncv2" in cfg.loader,
                             weak_size=weak_size,
                             multihot_transform=mh_transform,
-                            oracle_labels="oracle" in cfg.loader)
+                            oracle_labels="oracle" in cfg.loader,
+                            oracle_keep_ignore="woignore" in cfg.loader)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,
@@ -102,6 +113,32 @@ def build_active_datasets(cfg):
             seed=cfg.seed)
     val = _build_val_dataset(cfg, encode)
     return RegionActiveSet(cfg, pool, label), val
+
+
+def _build_dominant_datasets(cfg, encode):
+    """Dominant-labeling baseline arm (--no-or-labeling): the reference's
+    non-Or branch (dataloader/__init__.py:143-145) over RegionCityscapes /
+    _predignore / _withgt / _oracle. Label paths must point at offline
+    gtFine_dominant* PNGs (tools/label_assignment generators)."""
+    from mulactseg_tpu.data.datasets import RegionDatasetDominant
+    from mulactseg_tpu.data.transforms import PairedTransform
+
+    with_gt = "withgt" in cfg.loader
+    pred_ignore = ("predignore" in cfg.loader
+                   or "predignore" in cfg.method)
+    pads = [cfg.ignore_idx, cfg.nseg] + ([cfg.ignore_idx] if with_gt
+                                         else [])
+    train_tf = PairedTransform(scale_range=(0.5, 2.0),
+                               crop_size=tuple(cfg.crop_size),
+                               pad_values=pads, hflip=True, seed=cfg.seed)
+    label = RegionDatasetDominant(
+        cfg, cfg.trg_datalist, cfg.region_dict, split="active-label",
+        transform=train_tf, encode_fn=encode, pred_ignore=pred_ignore,
+        with_gt=with_gt, full_supervision="oracle" in cfg.loader)
+    pool = RegionDatasetDominant(
+        cfg, cfg.trg_datalist, cfg.region_dict, split="active-ulabel",
+        transform=None, encode_fn=encode)
+    return RegionActiveSet(cfg, pool, label), _build_val_dataset(cfg, encode)
 
 
 def _build_val_dataset(cfg, encode):

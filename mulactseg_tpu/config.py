@@ -47,8 +47,16 @@ class Config:
     ignore_idx: int = 255
     or_labeling: bool = True
     dominant_labeling: bool = False
+    # dominant-baseline datalist variants (region_cityscapes.py:56-68):
+    # without known_ignore the label paths rewrite gtFine_dominant ->
+    # gtFine_dominant_ignore; prob_dominant -> gtFine_dominant_ignore_sample
+    known_ignore: bool = False
+    prob_dominant: bool = False
     trim_multihot_boundary: bool = True
     trim_kernel_size: int = 5
+    # CLI-parity flags whose only reference consumer
+    # (region_cityscapes_or_all.py) is dead code there — its class name is
+    # unreachable by the dataloader dispatch and no script selects it
     ignore_size: int = 0
     mark_topk: int = -1
     # research-loader multi-hot rewrites (*_tinyfilter_gt etc.;
@@ -165,6 +173,11 @@ class Config:
         if not self.trg_datalist:
             self.trg_datalist = os.path.join(
                 self.datalist_dir, f"train_seed{self.nseg}.txt")
+        if self.dominant_labeling and "dominant" not in self.trg_datalist:
+            # dominant arm uses the *_dominant datalists whose label paths
+            # point at the offline gtFine_dominant PNGs (common.py:165-167)
+            self.trg_datalist = (self.trg_datalist.rsplit(".", 1)[0]
+                                 + "_dominant.txt")
         if not self.region_dict:
             self.region_dict = os.path.join(self.datalist_dir, "train.dict")
         return self

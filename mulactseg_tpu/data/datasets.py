@@ -190,14 +190,20 @@ class RegionDatasetOr:
                  weak_size: Optional[tuple] = None,
                  multihot_transform: Optional[str] = None,
                  sp_gt_size: Optional[np.ndarray] = None,
-                 oracle_labels: bool = False):
+                 oracle_labels: bool = False,
+                 async_weak_hflip: bool = False,
+                 oracle_keep_ignore: bool = False):
         # load_smaller_spx: also load the finer superpixel map by path
         # substitution seeds_{nseg} -> seeds_{small_nseg}
         # (region_cityscapes_or_tensor.py:76-80); async_views: add an
         # unaugmented full-view 'weak' copy resized to weak_size
-        # (region_cityscapes_or_tensor_ignore_async.py:17-66)
+        # (region_cityscapes_or_tensor_ignore_async.py:17-66);
+        # async_weak_hflip: the asyncv2 variant, whose weak view ALSO
+        # random-hflips (the only v1/v2 delta —
+        # region_cityscapes_or_tensor_ignore_asyncv2.py:19)
         self.load_smaller_spx = load_smaller_spx
         self.async_views = async_views
+        self.async_weak_hflip = async_weak_hflip
         self.weak_size = weak_size
         self.cfg = cfg
         self.split = split
@@ -208,8 +214,11 @@ class RegionDatasetOr:
         self.ignore_gt_in_spmask = ignore_gt_in_spmask
         # oracle loaders train on precise GT inside the selected
         # superpixels: 255-inside -> the extra class, unselected -> 255
-        # (region_cityscapes_or_oracle.py:29-45)
+        # (region_cityscapes_or_oracle.py:29-45); the woignore variant
+        # keeps 255 as-is inside (region_cityscapes_or_oracle_woignore.py:
+        # 41-44)
         self.oracle_labels = oracle_labels
+        self.oracle_keep_ignore = oracle_keep_ignore
         self.load_gt = load_gt or ignore_gt_in_spmask or oracle_labels
         region = load_region_dict(region_dict)
         self.im_idx: List[List[str]] = []
@@ -310,15 +319,21 @@ class RegionDatasetOr:
             sample["spx_small"] = labels[idx].astype(np.int32)
         if gt is not None:
             if self.oracle_labels:
-                inside = np.where(gt_t == self.cfg.ignore_idx,
-                                  self.cfg.num_classes, gt_t)
+                inside = (gt_t if self.oracle_keep_ignore else
+                          np.where(gt_t == self.cfg.ignore_idx,
+                                   self.cfg.num_classes, gt_t))
                 sample["labels"] = np.where(spmask, inside,
                                             self.cfg.ignore_idx).astype(
                                                 np.int32)
             else:
                 sample["labels"] = gt_t
         if self.async_views:
-            weak_tf = PairedTransform(resize_to=self.weak_size)
+            # per-(seed, index)-seeded so the v2 hflip draw is reproducible
+            # under threaded prefetch (fresh instance per call)
+            weak_tf = PairedTransform(
+                resize_to=self.weak_size, hflip=self.async_weak_hflip,
+                seed=(getattr(self.cfg, "seed", 0) * 1000003 + index)
+                % (2 ** 32))
             wl = ([raw["gt"]] if raw["gt"] is not None else []) +                 [raw["spx"]] +                 ([raw["spx_small"]] if raw["spx_small"] is not None else [])
             img_w, wl = weak_tf(raw["image"], wl)
             j = 0
@@ -462,6 +477,130 @@ class RegionDatasetMseg:
         sample["mseg_spx"] = np.stack(spx_stack)
         sample["mseg_spmask"] = np.stack(mask_stack)
         return sample
+
+
+class RegionDatasetDominant:
+    """Dominant-labeling baseline loader family — the paper's 'Dominant'
+    query arm (region_cityscapes.py:15-135 with dominant_labeling=True,
+    plus its predignore / withgt / oracle subclasses):
+
+    - the datalist's label paths point at offline `gtFine_dominant*` PNGs
+      (generated by tools/label_assignment); with dominant_labeling the
+      labels load RAW (already trainIds + 255), else they pass encode_fn.
+      Datalist substitutions mirror get_data_list (region_cityscapes.py:
+      56-68): without cfg.known_ignore `gtFine_dominant` ->
+      `gtFine_dominant_ignore`; with cfg.prob_dominant ->
+      `gtFine_dominant_ignore_sample`.
+    - unselected superpixels mask to 255 (mask_region branch, :113-124).
+    - pred_ignore (region_cityscapes_predignore.py:38-57): 255 -> C
+      BEFORE masking, so discovered-ignore trains as the extra class
+      while unselected stays 255.
+    - with_gt (region_cityscapes_withgt.py): the precise GT also rides
+      along under 'target'.
+    - full_supervision (region_cityscapes_oracle.py:24-27): the labeled
+      set starts as the ENTIRE datalist with every superpixel selected.
+    """
+
+    def __init__(self, cfg, datalist: Optional[str], region_dict: str,
+                 split: str = "active-label",
+                 transform: Optional[PairedTransform] = None,
+                 encode_fn: Callable = encode_cityscapes,
+                 *, pred_ignore: bool = False, with_gt: bool = False,
+                 full_supervision: bool = False):
+        self.cfg = cfg
+        self.split = split
+        self.transform = transform
+        self.encode_fn = encode_fn
+        self.pred_ignore = pred_ignore
+        self.with_gt = with_gt
+        region = load_region_dict(region_dict)
+        self.im_idx: List[List[str]] = []
+        self.suppix: Dict[str, List[int]] = {}
+        if datalist is not None:
+            with open(datalist) as f:
+                lines = [l for l in f.read().splitlines() if l.strip()]
+            for line in lines:
+                cols = line.split("\t")
+                if len(cols) == 1:
+                    # VOC dominant datalists are bare image ids; paths are
+                    # constructed (region_voc_dominant_16.py:81-91 — the
+                    # reference hardcodes seeds_16, here seeds_{nseg})
+                    fid = cols[0]
+                    seeds = f"superpixels/pascal_voc_seg/seeds_{cfg.nseg}"
+                    img = f"VOC2012/JPEGImages/{fid}.jpg"
+                    lbl = (f"{seeds}/train/gtFine_dominant/{fid}.png"
+                           if cfg.dominant_labeling else
+                           f"VOC2012/SegmentationClass/{fid}.png")
+                    spx = f"{seeds}/train/label/{fid}.pkl"
+                    rkey = fid
+                else:
+                    img, lbl, spx = cols
+                    rkey = spx
+                if not cfg.known_ignore:
+                    lbl = lbl.replace("gtFine_dominant",
+                                      "gtFine_dominant_ignore")
+                if cfg.prob_dominant:
+                    lbl = lbl.replace("gtFine_dominant",
+                                      "gtFine_dominant_ignore_sample")
+                full = [os.path.join(cfg.data_root, p)
+                        for p in (img, lbl, spx)]
+                self.im_idx.append(full)
+                self.suppix[full[2]] = list(region[rkey])
+        if not full_supervision and split == "active-label":
+            # labeled set starts empty; the active set fills it per round
+            self.im_idx = []
+            self.suppix = {}
+
+    def __len__(self):
+        return len(self.im_idx)
+
+    def __getitem__(self, index: int) -> Dict:
+        img_p, lbl_p, spx_p = self.im_idx[index]
+        image = open_image(img_p)
+        spx = open_spx(spx_p)
+        if self.split == "active-ulabel":
+            if self.transform is not None:
+                image, (spx,) = self.transform(image, [spx])
+            else:
+                image = normalize(image)
+            return {"images": image, "spx": spx.astype(np.int32),
+                    "fnames": self.im_idx[index]}
+        raw = open_label(lbl_p)
+        target = (np.asarray(raw) if self.cfg.dominant_labeling
+                  else self.encode_fn(raw))
+        labels = [target, spx]
+        if self.with_gt:
+            labels.append(self.encode_fn(open_label(self._gt_path(lbl_p))))
+        if self.transform is not None:
+            image, labels = self.transform(image, labels)
+        else:
+            image = normalize(image)
+        target = np.asarray(labels[0]).astype(np.int32)
+        spx = np.asarray(labels[1]).astype(np.int32)
+        if self.pred_ignore:
+            target = np.where(target == self.cfg.ignore_idx,
+                              self.cfg.num_classes, target)
+        selected = self.suppix.get(spx_p, [])
+        mask = np.isin(spx, np.asarray(selected, np.int64))
+        target = np.where(mask, target, self.cfg.ignore_idx).astype(np.int32)
+        sample = {"images": image, "labels": target, "spx": spx,
+                  "fnames": self.im_idx[index]}
+        if self.with_gt:
+            gt_t = np.asarray(labels[2]).astype(np.int32)
+            if self.pred_ignore:
+                gt_t = np.where(gt_t == self.cfg.ignore_idx,
+                                self.cfg.num_classes, gt_t)
+            sample["target"] = gt_t
+        return sample
+
+    def _gt_path(self, lbl_p: str) -> str:
+        """Precise-GT path, mirroring region_cityscapes_withgt.py:109-111:
+        '{root}/gtFine/train/{city}/{id}_gtFine_labelIds.png' from the
+        dominant file's basename id."""
+        id_ = os.path.basename(lbl_p).split(".")[0]
+        return os.path.join(self.cfg.data_root, "gtFine", "train",
+                            id_.split("_")[0],
+                            f"{id_}_gtFine_labelIds.png")
 
 
 class EvalRegionDatasetAll:
