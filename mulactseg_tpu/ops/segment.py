@@ -647,13 +647,18 @@ def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
 
     B, C, HW = logits_cs.shape
     P = B * HW
-    if _os.environ.get("MULACTSEG_NCHW_SCATTER", "0") != "0":
+    if (_os.environ.get("MULACTSEG_NCHW_SCATTER", "0") != "0"
+            and num_segments + 1 <= 9216):
         # sort-free path: softmax + run merge + VMEM scatter-max in one
         # kernel (segment_pallas.scatter_softmax_max_nchw) — no (P, 128)
         # gather source in HBM, no key sort, no latency-bound gather.
         # OPT-IN until measured on the target chip: the data-dependent
         # scalar walk makes Mosaic compiles very slow (>30 min observed),
-        # which the persistent cache only amortizes after a first run
+        # which the persistent cache only amortizes after a first run.
+        # The S guard keeps the kernel's VMEM-resident accumulator pair
+        # (2 x (S_pad, 128) x 4 B = S_pad KiB) within ~9 MB of the chip's
+        # ~16 MB VMEM alongside ~4 MB of scratch/blocks; larger segment
+        # counts (e.g. mseg small_nseg) fall back to the sorted pipeline
         dbl = int(_os.environ.get("MULACTSEG_NCHW_SCATTER_DBL", "6"))
         return scatter_softmax_max_nchw(
             logits_cs, sid.reshape(B, 1, HW), temp, num_segments,
