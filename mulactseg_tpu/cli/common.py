@@ -54,11 +54,19 @@ def build_active_datasets(cfg):
     if cfg.loader.startswith("mseg"):
         return _build_mseg_datasets(cfg, encode)
 
+    stats_mode = stats_mode_for_loader(cfg.loader)
     if not cfg.or_labeling:
-        return _build_dominant_datasets(cfg, encode)
+        # non-Or branch (dataloader/__init__.py:143-145) — but the stats
+        # loaders (dom_w_gt etc.) are selected with or_labeling unset in
+        # the reference scripts too, so they must dispatch FIRST
+        return _build_dominant_datasets(cfg, encode, stats_mode)
 
     tf_name = cfg.train_transform
-    if ("ignore" in cfg.loader and "woignore" not in cfg.loader
+    # any loader whose item carries the precise GT ([gt, spx] label list:
+    # the _ignore family AND the oracle family incl. woignore) needs the
+    # _multi_ignore_ transform's per-label pad values [255, nseg] — a
+    # 1-entry pad list would pad GT with nseg on small scale draws
+    if (("ignore" in cfg.loader or "oracle" in cfg.loader)
             and "ignore" not in tf_name):
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
     train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
@@ -99,23 +107,27 @@ def build_active_datasets(cfg):
                            multi_hot_cls=label.multi_hot_cls)
     label.suppix = {}
     label.im_idx = []
-    stats_mode = stats_mode_for_loader(cfg.loader)
     if stats_mode is not None:
-        # analysis one-off loaders (region_cityscapes_{count_all,
-        # visualize_minor,dom_w_gt,dominant_all_sample}.py) keyed by the
-        # reference loader name
-        from mulactseg_tpu.data.stats import RegionStatsDataset
-
-        label = RegionStatsDataset(
-            cfg, label, stats_mode,
-            pred_ignore="predignore" in (cfg.resume_checkpoint or "")
-            or "predignore" in cfg.method,
-            seed=cfg.seed)
+        label = _wrap_stats(cfg, label, stats_mode)
     val = _build_val_dataset(cfg, encode)
     return RegionActiveSet(cfg, pool, label), val
 
 
-def _build_dominant_datasets(cfg, encode):
+def _wrap_stats(cfg, label, stats_mode):
+    """Analysis one-off loaders (region_cityscapes_{count_all,
+    visualize_minor,dom_w_gt,dominant_all_sample}.py) keyed by the
+    reference loader name; wraps whichever base (Or / dominant) the
+    labeling arm built."""
+    from mulactseg_tpu.data.stats import RegionStatsDataset
+
+    return RegionStatsDataset(
+        cfg, label, stats_mode,
+        pred_ignore="predignore" in (cfg.resume_checkpoint or "")
+        or "predignore" in cfg.method,
+        seed=cfg.seed)
+
+
+def _build_dominant_datasets(cfg, encode, stats_mode=None):
     """Dominant-labeling baseline arm (--no-or-labeling): the reference's
     non-Or branch (dataloader/__init__.py:143-145) over RegionCityscapes /
     _predignore / _withgt / _oracle. Label paths must point at offline
@@ -138,6 +150,11 @@ def _build_dominant_datasets(cfg, encode):
     pool = RegionDatasetDominant(
         cfg, cfg.trg_datalist, cfg.region_dict, split="active-ulabel",
         transform=None, encode_fn=encode)
+    if stats_mode is not None:
+        # the reference selects the stats loaders with or_labeling unset
+        # (figure7 Dom scripts) — the analysis wrapper rides the dominant
+        # base's im_idx/suppix/transform
+        label = _wrap_stats(cfg, label, stats_mode)
     return RegionActiveSet(cfg, pool, label), _build_val_dataset(cfg, encode)
 
 

@@ -203,8 +203,15 @@ class RegionDatasetOr:
         # region_cityscapes_or_tensor_ignore_asyncv2.py:19)
         self.load_smaller_spx = load_smaller_spx
         self.async_views = async_views
-        self.async_weak_hflip = async_weak_hflip
         self.weak_size = weak_size
+        if async_views:
+            # one shared advancing transform: the v2 hflip must redraw per
+            # CALL (fresh per epoch — ExtRandomHorizontalFlip in
+            # region_cityscapes_or_tensor_ignore_asyncv2.py:19), exactly
+            # like the strong transform's own stream
+            self._weak_tf = PairedTransform(
+                resize_to=weak_size, hflip=async_weak_hflip,
+                seed=cfg.seed + 7919)
         self.cfg = cfg
         self.split = split
         self.transform = transform
@@ -328,12 +335,7 @@ class RegionDatasetOr:
             else:
                 sample["labels"] = gt_t
         if self.async_views:
-            # per-(seed, index)-seeded so the v2 hflip draw is reproducible
-            # under threaded prefetch (fresh instance per call)
-            weak_tf = PairedTransform(
-                resize_to=self.weak_size, hflip=self.async_weak_hflip,
-                seed=(getattr(self.cfg, "seed", 0) * 1000003 + index)
-                % (2 ** 32))
+            weak_tf = self._weak_tf
             wl = ([raw["gt"]] if raw["gt"] is not None else []) +                 [raw["spx"]] +                 ([raw["spx_small"]] if raw["spx_small"] is not None else [])
             img_w, wl = weak_tf(raw["image"], wl)
             j = 0
@@ -568,29 +570,33 @@ class RegionDatasetDominant:
         raw = open_label(lbl_p)
         target = (np.asarray(raw) if self.cfg.dominant_labeling
                   else self.encode_fn(raw))
+        # pred_ignore substitution BEFORE the transform (region_cityscapes_
+        # predignore.py:38-40, _dom_w_gt.py:48-63): crop padding added by
+        # the transform (value 255) must STAY 255, not become the
+        # discovered-ignore class
+        if self.pred_ignore:
+            target = np.where(target == self.cfg.ignore_idx,
+                              self.cfg.num_classes, target)
         labels = [target, spx]
         if self.with_gt:
-            labels.append(self.encode_fn(open_label(self._gt_path(lbl_p))))
+            gt = self.encode_fn(open_label(self._gt_path(lbl_p)))
+            if self.pred_ignore:
+                gt = np.where(gt == self.cfg.ignore_idx,
+                              self.cfg.num_classes, gt)
+            labels.append(gt)
         if self.transform is not None:
             image, labels = self.transform(image, labels)
         else:
             image = normalize(image)
         target = np.asarray(labels[0]).astype(np.int32)
         spx = np.asarray(labels[1]).astype(np.int32)
-        if self.pred_ignore:
-            target = np.where(target == self.cfg.ignore_idx,
-                              self.cfg.num_classes, target)
         selected = self.suppix.get(spx_p, [])
         mask = np.isin(spx, np.asarray(selected, np.int64))
         target = np.where(mask, target, self.cfg.ignore_idx).astype(np.int32)
         sample = {"images": image, "labels": target, "spx": spx,
                   "fnames": self.im_idx[index]}
         if self.with_gt:
-            gt_t = np.asarray(labels[2]).astype(np.int32)
-            if self.pred_ignore:
-                gt_t = np.where(gt_t == self.cfg.ignore_idx,
-                                self.cfg.num_classes, gt_t)
-            sample["target"] = gt_t
+            sample["target"] = np.asarray(labels[2]).astype(np.int32)
         return sample
 
     def _gt_path(self, lbl_p: str) -> str:

@@ -136,6 +136,10 @@ class RegionStatsDataset:
         self.pred_ignore = pred_ignore
         self.generate_ignore = generate_ignore
         self.seed = seed
+        # advancing stream for the dominant_sample draws (fresh labels per
+        # epoch, like the reference's worker RNG); RandomState methods are
+        # GIL-serialized so concurrent fetch threads can't corrupt it
+        self.rng = np.random.RandomState(seed)
         # dom_w_gt / dominant_sample are TRAINING loaders in the reference
         # (transform applied before masking/sampling: region_cityscapes_
         # dom_w_gt.py:65, region_cityscapes_dominant_all_sample.py:31); the
@@ -186,16 +190,17 @@ class RegionStatsDataset:
 
         cfg = self.cfg
         img_p, lbl_p, spx_p = self.base.im_idx[index]
-        gt = self.base.encode_fn(open_label(lbl_p))
         spx = open_spx(spx_p)
         selected = self.base.suppix.get(spx_p, [])
         if self.mode == "count_all":
+            gt = self.base.encode_fn(open_label(lbl_p))
             size_bin, ncls_bin = superpixel_count_stats(
                 gt, spx, cfg.nseg, cfg.num_classes, selected,
                 cfg.ignore_idx)
             return {"sup_size_bin": size_bin, "num_class_bin": ncls_bin,
                     "fnames": self.base.im_idx[index]}
         if self.mode == "visualize_minor":
+            gt = self.base.encode_fn(open_label(lbl_p))
             cls, size = superpixel_composition(
                 gt, spx, cfg.nseg, cfg.num_classes, selected,
                 ignore_boundaries=getattr(cfg, "ignore_boundaries", False),
@@ -209,20 +214,21 @@ class RegionStatsDataset:
             # reference order (region_cityscapes_dominant_all_sample.py:
             # 31-52): transform (scale/crop/flip) FIRST, then sample each
             # selected superpixel from the counts visible in the crop.
-            # RNG is per-(seed, index), not a shared stream: DataProvider
-            # fetches items from a thread pool, so a shared RandomState
-            # would make sampled labels depend on thread schedule (the
-            # reference's sequential torch workers don't have this issue).
+            # Every call RE-SAMPLES from an advancing stream (self.rng) —
+            # the label-noise averaging across epochs IS the point of the
+            # 'sample' arm (the reference advances torch's worker RNG).
+            # GIL-serialized RandomState calls are safe from the loader's
+            # fetch threads; draw order (hence exact labels) is
+            # thread-schedule-dependent, like the reference's workers.
             if self.transform is not None:
                 image, (raw, spx) = self.transform(
                     image_u8, [open_label(lbl_p), spx])
                 gt = self.base.encode_fn(raw)
             else:
                 image = normalize(image_u8)
-            rng = np.random.RandomState(
-                (self.seed * 1000003 + index) % (2 ** 32))
+                gt = self.base.encode_fn(open_label(lbl_p))
             dom = sample_dominant_map(gt, spx, cfg.nseg, cfg.num_classes,
-                                      selected, rng,
+                                      selected, self.rng,
                                       self.generate_ignore, cfg.ignore_idx)
             return {"images": image, "labels": dom.astype(np.int32),
                     "spx": np.asarray(spx).astype(np.int32),
@@ -232,9 +238,19 @@ class RegionStatsDataset:
             # the reference loads from lbl_fname), pred_ignore substitution
             # BEFORE the transform, selection masking AFTER — the exact
             # order of region_cityscapes_dom_w_gt.py:44-80
-            dom = dominant_label_for_image(gt, spx, cfg.nseg,
-                                           cfg.num_classes)
-            precise = gt
+            if hasattr(self.base, "_gt_path"):
+                # dominant arm: lbl_p IS the offline dominant file (raw
+                # trainIds — exactly what the reference loads at :46);
+                # precise GT comes from the gtFine path
+                dom = np.asarray(open_label(lbl_p))
+                precise = self.base.encode_fn(
+                    open_label(self.base._gt_path(lbl_p)))
+            else:
+                # Or arm: lbl_p is the precise GT; the dominant map is
+                # computed on the fly (== the offline generator's output)
+                precise = self.base.encode_fn(open_label(lbl_p))
+                dom = dominant_label_for_image(precise, spx, cfg.nseg,
+                                               cfg.num_classes)
             if self.pred_ignore:
                 # 255 -> extra class when the checkpoint predicts ignore
                 # (region_cityscapes_dom_w_gt.py:40,60)

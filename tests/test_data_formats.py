@@ -208,6 +208,42 @@ def test_async_and_small_spx_disk_loader(disk_fixture, tmp_path):
     assert s["images_weak"].shape == (24, 24, 3)
 
 
+def test_asyncv2_weak_hflip_redraws_per_call(disk_fixture, tmp_path):
+    """asyncv2's weak view random-hflips with a FRESH draw every call
+    (region_cityscapes_or_tensor_ignore_asyncv2.py:19) — within 12 reads
+    of one item both orientations must appear (P[all same] ~ 2^-11)."""
+    import json as _json
+    import pickle
+
+    import numpy as np
+
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    rows = [f"img_0.png\tlbl_0.png\tv2_spx_0.pkl"]
+    with open(root / "v2_spx_0.pkl", "wb") as f:
+        pickle.dump({"labels": spx_map}, f)
+    (root / "train_v2.txt").write_text("\n".join(rows))
+    (root / "train_v2.dict").write_text(
+        _json.dumps({"v2_spx_0.pkl": [S, []]}))
+
+    from mulactseg_tpu.data import RegionDatasetOr, encode_identity
+    ds = RegionDatasetOr(cfg, str(root / "train_v2.txt"),
+                         str(root / "train_v2.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh, async_views=True,
+                         async_weak_hflip=True, weak_size=(24, 24))
+    orientations = set()
+    first = None
+    for _ in range(12):
+        w = ds[0]["images_weak"]
+        if first is None:
+            first = w
+        if np.allclose(w, first):
+            orientations.add("same")
+        elif np.allclose(w, first[:, ::-1]):
+            orientations.add("flipped")
+    assert orientations == {"same", "flipped"}
+
+
 def test_dataprovider_tiny_dataset_no_hang():
     """A labeled set smaller than the batch must not spin forever
     (pre-fix: drop_last yielded zero batches and the infinite iterator

@@ -138,6 +138,30 @@ def test_build_active_datasets_dominant_dispatch(dom_root, monkeypatch):
         set(range(C)) | {255})
 
 
+def test_stats_loader_dispatch_under_dominant_arm(dom_root):
+    """The reference selects dom_w_gt etc. with or_labeling UNSET (figure7
+    Dom scripts): the stats wrapper must dispatch before the dominant
+    early-return and ride the dominant base."""
+    from mulactseg_tpu.cli.common import build_active_datasets
+    from mulactseg_tpu.data.stats import RegionStatsDataset
+
+    root, spx, _, _ = dom_root
+    cfg = _cfg(root, trg_datalist=str(root / "train.txt"),
+               region_dict=str(root / "train.dict"),
+               datalist_dir=str(root), crop_size=(16, 16))
+    cfg.loader = "region_cityscapes_dom_w_gt"
+    active, _ = build_active_datasets(cfg)
+    label = active.trg_label_dataset
+    assert isinstance(label, RegionStatsDataset)
+    # the wrapper rides the dominant base's (empty-start) bookkeeping
+    assert len(label) == 0
+    label.im_idx = [active.trg_pool_dataset.im_idx[0]]
+    label.suppix = {active.trg_pool_dataset.im_idx[0][2]: [0, 3]}
+    item = label[0]
+    assert item["target"].shape == (16, 16)
+    assert item["spmask"].shape == (16, 16)
+
+
 def test_voc_dominant_single_column_datalist(tmp_path):
     """VOC dominant datalists are bare ids; paths construct VOC-style with
     the seeds dir keyed by cfg.nseg (region_voc_dominant_16.py:81-91,

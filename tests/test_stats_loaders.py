@@ -138,13 +138,12 @@ def test_region_stats_dataset_modes(tmp_path, fixture):
 
     # train-loader modes apply the base's transform (reference order:
     # transform BEFORE masking/sampling — region_cityscapes_dom_w_gt.py:65,
-    # region_cityscapes_dominant_all_sample.py:31); sampling is per-(seed,
-    # index) reproducible regardless of fetch-thread order
+    # region_cityscapes_dominant_all_sample.py:31); sampling ADVANCES per
+    # call (fresh label noise each epoch, the point of the 'sample' arm)
     from mulactseg_tpu.data.transforms import PairedTransform
 
     base.transform = PairedTransform(crop_size=(16, 16), seed=3)
-    # same seed -> same transform stream AND same per-index draw, even
-    # though each read advances the instance's transform rng
+    # same seed -> same streams from a fresh instance (deterministic runs)
     a = RegionStatsDataset(cfg, base, "dominant_sample", seed=7)[0]
     b = RegionStatsDataset(cfg, base, "dominant_sample", seed=7)[0]
     assert a["images"].shape == (16, 16, 3)
@@ -157,3 +156,23 @@ def test_region_stats_dataset_modes(tmp_path, fixture):
     sp = item["spx"]
     want_mask = np.isin(sp, np.asarray(selected))
     np.testing.assert_array_equal(item["spmask"], want_mask)
+
+    # ...but repeated reads RE-SAMPLE: a 50/50 two-class superpixel must
+    # see both labels within 12 epochs (P[all same] ~ 2^-11)
+    gt5050 = np.zeros((H, W), np.int64)
+    gt5050[:, W // 2:] = 1
+    Image.fromarray(gt5050.astype(np.uint8)).save(root / "lbl_0.png")
+    from mulactseg_tpu.data.datasets import _decode_cache
+    _decode_cache.clear()
+    base.transform = None
+    ds = RegionStatsDataset(cfg, base, "dominant_sample", seed=7)
+    spx_map = np.asarray(fixture[1])
+    straddling = [p for p in range(S)
+                  if len(np.unique(gt5050[spx_map == p])) == 2]
+    assert straddling
+    base.suppix[base.im_idx[0][2]] = straddling
+    seen = set()
+    for _ in range(12):
+        lab = ds[0]["labels"]
+        seen.add(int(lab[spx_map == straddling[0]][0]))
+    assert seen == {0, 1}
