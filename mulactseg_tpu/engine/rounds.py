@@ -171,6 +171,17 @@ class ALTrainer:
         keys = ("images", "target", "target_bits", "spx", "spmask", "labels",
                 "spx_small", "images_weak", "spx_weak", "spmask_weak",
                 "spx_small_weak")
+
+        def ship_keys(first_batch):
+            # the fused lossdecomp criterion consumes target_bits / target /
+            # spx only — the selection mask is already folded into the bits
+            # (losses/fused.pixel_target_bits), so spmask would ship
+            # (K, B, H, W) bool per dispatch for nothing. The composed
+            # fallback (no bits, e.g. C > 31) still needs it.
+            if (cfg.method.endswith("_lossdecomp")
+                    and "target_bits" in first_batch):
+                return tuple(k for k in keys if k != "spmask")
+            return keys
         K = max(1, cfg.steps_per_dispatch)
         it = 0
         while it < total_itrs:
@@ -182,7 +193,7 @@ class ALTrainer:
                 batches = [next(loader) for _ in range(K)]
                 super_batch = {
                     k: jnp.asarray(np.stack([b[k] for b in batches]))
-                    for k in keys if k in batches[0]
+                    for k in ship_keys(batches[0]) if k in batches[0]
                 }
                 if self.dp:  # (K, B, ...) — shard the batch dim, axis 1
                     super_batch = shard_batch(super_batch, self.mesh,
@@ -195,7 +206,7 @@ class ALTrainer:
             else:
                 batch = next(loader)
                 device_batch = {k: jnp.asarray(batch[k])
-                                for k in keys if k in batch}
+                                for k in ship_keys(batch) if k in batch}
                 if self.dp:
                     device_batch = shard_batch(device_batch, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
