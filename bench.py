@@ -57,6 +57,7 @@ def main():
     from mulactseg_tpu.engine.train import make_train_step_scan
     from mulactseg_tpu.models import get_model
 
+    auto_layout = os.environ.get("MULACTSEG_AUTO_LAYOUT", "0") == "1"
     cfg = Config(num_classes=NUM_CLASSES, nseg=NSEG, crop_size=(H, W),
                  train_batch_size=BATCH,
                  method="active_joint_multi_predignore_lossdecomp",
@@ -65,7 +66,8 @@ def main():
                       output_stride=cfg.output_stride, dtype=jnp.bfloat16)
     state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                (BATCH, H, W, 3))
-    run = make_train_step_scan(model, cfg, K, donate=True)
+    run = make_train_step_scan(model, cfg, K, donate=True,
+                               auto_layout=auto_layout)
 
     from mulactseg_tpu.data.synthetic import irregular_superpixels
     from mulactseg_tpu.losses.fused import pixel_target_bits
@@ -87,14 +89,28 @@ def main():
     bits = np.stack([
         np.stack([pixel_target_bits(target[k, b], spx[k, b], spmask[k, b])
                   for b in range(BATCH)]) for k in range(K)])
+    # no spmask: the fused lossdecomp path folds selection into the bits,
+    # and the production dispatch (engine/rounds.ship_keys) drops it
     super_batch = {
         "images": jnp.asarray(rng.randn(K, BATCH, H, W, 3), jnp.bfloat16),
         "target": jnp.asarray(target),
         "target_bits": jnp.asarray(bits),
         "spx": jnp.asarray(spx),
-        "spmask": jnp.asarray(spmask),
     }
+    del spmask
     key = jax.random.PRNGKey(0)
+
+    if auto_layout:
+        # compile with XLA-chosen entry layouts, then place every operand
+        # in exactly the layout the loop wants — kills the per-step
+        # relayout of the sliced xs slabs inside the scan
+        compiled = run.lower(state, super_batch, key).compile()
+        (fmt_state, fmt_batch, fmt_key), _ = compiled.input_formats
+        state = jax.device_put(state, fmt_state)
+        super_batch = jax.device_put(super_batch, fmt_batch)
+
+        def run(state, batch, k):
+            return compiled(state, batch, jax.device_put(k, fmt_key))
 
     # warmup / compile
     key, k = jax.random.split(key)

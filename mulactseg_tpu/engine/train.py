@@ -567,7 +567,7 @@ def make_train_step(model, cfg, donate: bool = True):
 
 
 def make_train_step_scan(model, cfg, steps_per_dispatch: int,
-                         donate: bool = True):
+                         donate: bool = True, auto_layout: bool = False):
     """K training steps per dispatch as a device-side lax.scan.
 
     The reference dispatches one GPU step per Python iteration
@@ -591,6 +591,16 @@ def make_train_step_scan(model, cfg, steps_per_dispatch: int,
         return state, auxs
 
     donate_args = (0,) if donate else ()
+    if auto_layout:
+        # let XLA choose the ENTRY layouts (jax.experimental.layout AUTO):
+        # the caller then device_puts state/super-batch directly into the
+        # layout the compiled loop wants (compiled.input_formats), instead
+        # of the loop re-laying-out every sliced xs slab per scan step
+        from jax.experimental.layout import Format, Layout
+
+        return jax.jit(run, donate_argnums=donate_args,
+                       in_shardings=Format(Layout.AUTO),
+                       out_shardings=Format(Layout.AUTO))
     return jax.jit(run, donate_argnums=donate_args)
 
 
