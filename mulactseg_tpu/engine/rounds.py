@@ -65,12 +65,6 @@ class ALTrainer:
         # training criterion; the trainer still serves model/eval/plbl
         self.train_step = (make_train_step(self.model, cfg)
                            if cfg.method in CRITERIA else None)
-        self._scan_step = None
-        if cfg.steps_per_dispatch > 1 and self.train_step is not None:
-            from mulactseg_tpu.engine.train import make_train_step_scan
-
-            self._scan_step = make_train_step_scan(
-                self.model, cfg, cfg.steps_per_dispatch)
         self.eval_step = make_eval_step(self.model)
         self.evaluator = Evaluator(self.model, cfg)
         self.val_dataset = val_dataset
@@ -94,6 +88,21 @@ class ALTrainer:
         self.dp = self.mesh.size > 1
         if self.dp:
             self.state = replicate(self.state, self.mesh)
+        # XLA-chosen entry layouts for the K-step scan (single-chip only:
+        # under DP the batch carries explicit shardings instead). The host
+        # then transfers each super-batch directly into the layout the
+        # compiled loop wants, instead of the loop re-laying-out every
+        # sliced xs slab per step.
+        self._auto_layout = (os.environ.get("MULACTSEG_AUTO_LAYOUT", "0")
+                             == "1" and not self.dp)
+        self._scan_step = None
+        self._scan_compiled = None  # (compiled, fmt_state, fmt_batch, fmt_key)
+        if cfg.steps_per_dispatch > 1 and self.train_step is not None:
+            from mulactseg_tpu.engine.train import make_train_step_scan
+
+            self._scan_step = make_train_step_scan(
+                self.model, cfg, cfg.steps_per_dispatch,
+                auto_layout=self._auto_layout)
         self.checkpoint_file = os.path.join(
             cfg.model_save_dir, f"checkpoint{selection_iter:02d}")
 
@@ -192,15 +201,32 @@ class ALTrainer:
                 # (~75ms on the tunnel) amortizes across K optimizer steps
                 batches = [next(loader) for _ in range(K)]
                 super_batch = {
-                    k: jnp.asarray(np.stack([b[k] for b in batches]))
+                    k: np.stack([b[k] for b in batches])
                     for k in ship_keys(batches[0]) if k in batches[0]
                 }
-                if self.dp:  # (K, B, ...) — shard the batch dim, axis 1
-                    super_batch = shard_batch(super_batch, self.mesh,
-                                              batch_dim=1)
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, auxs = self._scan_step(self.state, super_batch,
-                                                   step_rng)
+                if self._auto_layout:
+                    if self._scan_compiled is None:
+                        compiled = self._scan_step.lower(
+                            self.state, super_batch, step_rng).compile()
+                        fmts, _ = compiled.input_formats
+                        self._scan_compiled = (compiled,) + tuple(fmts)
+                    compiled, f_state, f_batch, f_key = self._scan_compiled
+                    # no-op when already in format; re-lays-out after any
+                    # default-layout step (fallback path, checkpoint load)
+                    self.state = jax.device_put(self.state, f_state)
+                    super_batch = jax.device_put(super_batch, f_batch)
+                    self.state, auxs = compiled(
+                        self.state, super_batch,
+                        jax.device_put(step_rng, f_key))
+                else:
+                    super_batch = {k: jnp.asarray(v)
+                                   for k, v in super_batch.items()}
+                    if self.dp:  # (K, B, ...) — shard the batch dim, axis 1
+                        super_batch = shard_batch(super_batch, self.mesh,
+                                                  batch_dim=1)
+                    self.state, auxs = self._scan_step(
+                        self.state, super_batch, step_rng)
                 aux = {k: v[-1] for k, v in auxs.items()}
                 it += K
             else:

@@ -61,6 +61,39 @@ def test_scan_matches_per_step_dispatch():
                                    atol=2e-3)
 
 
+def test_altrainer_auto_layout_matches_default(tmp_path, monkeypatch):
+    """MULACTSEG_AUTO_LAYOUT=1 (XLA-chosen entry layouts + lowered
+    compile + device_put into input_formats) reproduces the default
+    dispatch path exactly — same data/rng stream, same loss trace."""
+    from mulactseg_tpu.active import RegionActiveSet
+    from mulactseg_tpu.engine.rounds import ALTrainer
+
+    def run(auto):
+        if auto:
+            monkeypatch.setenv("MULACTSEG_AUTO_LAYOUT", "1")
+        else:
+            monkeypatch.delenv("MULACTSEG_AUTO_LAYOUT", raising=False)
+        cfg = Config(num_classes=5, nseg=16, crop_size=(32, 32),
+                     train_batch_size=2, finetune_itrs=6, val_period=100,
+                     steps_per_dispatch=3, dtype="float32", train_lr=1e-3,
+                     n_devices=1,
+                     model="deeplabv3pluswn_resnet50deepstem",
+                     method="active_joint_multi_predignore_lossdecomp",
+                     model_save_dir=str(tmp_path), loader="synthetic")
+        ds = SyntheticRegionDataset(n_images=2, H=32, W=32, num_classes=5,
+                                    nseg=16)
+        active = RegionActiveSet(cfg, ds, ds)
+        tr = ALTrainer(cfg, 1)
+        seen = []
+        tr.train(active, metrics_cb=lambda it, aux: seen.append(aux),
+                 log_every=1)
+        if auto:
+            assert tr._auto_layout and tr._scan_compiled is not None
+        return [a["train_loss"] for a in seen]
+
+    np.testing.assert_allclose(run(auto=False), run(auto=True), rtol=1e-6)
+
+
 def test_altrainer_uses_scan_dispatch(tmp_path):
     from mulactseg_tpu.active import RegionActiveSet
     from mulactseg_tpu.engine.rounds import ALTrainer
