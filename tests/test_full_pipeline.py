@@ -69,6 +69,7 @@ def _common_args(root, S, run_dir):
     ]
 
 
+@pytest.mark.slow
 def test_stage1_plbl_stage2_chain(disk_dataset, tmp_path):
     root, S, C = disk_dataset
     run_dir = tmp_path / "run"

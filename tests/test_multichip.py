@@ -28,6 +28,7 @@ def dp_cfg(tmp_path, **kw):
     return Config(**d)
 
 
+@pytest.mark.slow
 def test_run_al_rounds_8dev_dp(tmp_path):
     assert len(jax.devices()) == 8
     cfg = dp_cfg(tmp_path, steps_per_dispatch=2)
@@ -56,6 +57,7 @@ def test_dp_batch_size_divisibility_guard(tmp_path):
         ALTrainer(cfg, selection_iter=1)
 
 
+@pytest.mark.slow
 def test_driver_dryrun_multichip():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))

@@ -3,6 +3,7 @@ dispatch (same rng stream handling aside), and the ALTrainer loop uses it
 when configured."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def _setup():
     return cfg, model, state, dev
 
 
+@pytest.mark.slow
 def test_scan_matches_per_step_dispatch():
     cfg, model, state, dev = _setup()
     K = 4
@@ -61,6 +63,7 @@ def test_scan_matches_per_step_dispatch():
                                    atol=2e-3)
 
 
+@pytest.mark.slow
 def test_altrainer_auto_layout_matches_default(tmp_path, monkeypatch):
     """MULACTSEG_AUTO_LAYOUT=1 (XLA-chosen entry layouts + lowered
     compile + device_put into input_formats) reproduces the default

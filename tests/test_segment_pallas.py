@@ -2,6 +2,7 @@
 segment max vs the scan path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def test_pallas_kernel_matches_scan_interpret():
                 assert vals[p, c] == np.asarray(want_v)[s, c]
 
 
+@pytest.mark.slow
 def test_custom_vjp_value_and_grad_match_scan():
     sid, vals, P, S, C = _case(seed=1, P=512, S=11, C=3)
     sid_j, vals_j = jnp.asarray(sid), jnp.asarray(vals)
