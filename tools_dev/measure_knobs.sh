@@ -1,0 +1,30 @@
+#!/bin/bash
+# Measure the opt-in perf knobs on the real TPU, one bench.py run each.
+# Order matters: the scatter-kernel config is run FIRST so its very long
+# Mosaic compile (data-dependent scalar while loop; >30 min observed on a
+# sibling kernel) lands in the persistent TPU compile cache early, and a
+# second run of the same config is cheap if needed.
+#
+# Usage: bash tools_dev/measure_knobs.sh  (writes /tmp/knobs_summary.txt)
+set -u
+cd "$(dirname "$0")/.."
+out=/tmp/knobs_summary.txt
+: > "$out"
+
+run() {
+  local name="$1"; shift
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$out"
+  # env pairs are the remaining args
+  if timeout 5400 env "$@" python bench.py > /tmp/knobs_"$name".log 2>&1; then
+    tail -1 /tmp/knobs_"$name".log | tee -a "$out"
+  else
+    echo "FAILED rc=$? (see /tmp/knobs_$name.log)" | tee -a "$out"
+    tail -3 /tmp/knobs_"$name".log >> "$out"
+  fi
+}
+
+run scatter      MULACTSEG_NCHW_SCATTER=1
+run baseline     MULACTSEG_DUMMY=0
+run autolayout   MULACTSEG_AUTO_LAYOUT=1
+run scatter_auto MULACTSEG_NCHW_SCATTER=1 MULACTSEG_AUTO_LAYOUT=1
+echo "=== done $(date +%H:%M:%S) ===" | tee -a "$out"
