@@ -28,14 +28,47 @@ def _to_pil(img) -> Image.Image:
 
 
 def resize_image(img: np.ndarray, size_hw: Tuple[int, int],
-                 nearest: bool = False) -> np.ndarray:
+                 nearest: bool = False,
+                 box: Optional[Tuple[float, float, float, float]] = None
+                 ) -> np.ndarray:
+    """PIL resize; `box` (x0, y0, x1, y1 in source coords) resizes just
+    that source window — PIL samples output pixel centers linearly over
+    the box and clamps filter taps at the true image edges, so
+    resize(size, box=b) computes the same sampling grid as full resize +
+    crop. NOT bit-identical: PIL evaluates centers with different float
+    rounding per path (incremental accumulation in the C affine loop), so
+    exact-tie pixels differ — ±1-2 uint8 LSB on <1% of bilinear pixels,
+    nearest picks the adjacent source pixel on ~1-2% of tie columns
+    (boundary jitter). Bounds pinned by tests/test_data_formats.py::
+    test_box_resize_matches_resize_then_crop."""
+    if box is None and img.shape[:2] == tuple(size_hw):
+        # same-size bilinear/nearest resample is the identity; Cityscapes
+        # val hits this on every image (resize 1024x2048 -> 1024x2048)
+        return img
     mode = Image.NEAREST if nearest else Image.BILINEAR
     pil = _to_pil(img if img.dtype != np.int32 else img.astype(np.int32))
     if nearest and img.dtype not in (np.uint8,):
         # PIL handles int32 via mode "I"
         pil = Image.fromarray(img.astype(np.int32), mode="I")
-    out = pil.resize((size_hw[1], size_hw[0]), mode)
+    out = pil.resize((size_hw[1], size_hw[0]), mode, box=box)
     return np.asarray(out)
+
+
+def _pil_nearest_index(n_src: int, n_out: int) -> np.ndarray:
+    """Source index per output position of a PIL NEAREST full resize.
+
+    PIL's C affine loop accumulates the sampling center sequentially
+    (x = a1*0.5; x += a1 per pixel) and truncates, so exact-tie pixels
+    depend on the accumulated float rounding — replicated here addition
+    by addition (verified exact on random shapes in
+    tests/test_data_formats.py::test_pil_nearest_index_exact)."""
+    a1 = n_src / n_out
+    xs = np.empty(n_out)
+    x = a1 * 0.5
+    for k in range(n_out):
+        xs[k] = x
+        x += a1
+    return np.minimum(xs.astype(np.int64), n_src - 1)
 
 
 def normalize(img_u8: np.ndarray) -> np.ndarray:
@@ -71,6 +104,17 @@ class PairedTransform:
             labels = [resize_image(l, self.resize_to, nearest=True)
                       for l in labels]
 
+        if self.scale_range is not None and self.crop_size is not None:
+            # train fast path: resize ONLY the crop window via PIL's box
+            # resample (a scale-2.0 full resize produces 8.4 MP x 3 and
+            # throws 93% of it away; the box path does ~7% of that work).
+            # Same RNG draw order (s, y0, x0, flip) as the generic path
+            # below; image and labels share one sampling grid, differing
+            # from the materializing path only by exact-tie rounding (see
+            # resize_image docstring).
+            image, labels = self._scaled_crop(image, labels)
+            return self._finish(image, labels)
+
         if self.scale_range is not None:
             s = self.rng.uniform(*self.scale_range)
             h, w = image.shape[:2]
@@ -98,6 +142,43 @@ class PairedTransform:
             image = image[y0:y0 + ch, x0:x0 + cw]
             labels = [l[y0:y0 + ch, x0:x0 + cw] for l in labels]
 
+        return self._finish(image, labels)
+
+    def _scaled_crop(self, image, labels):
+        """Random scale + pad-if-needed + random crop without ever
+        materializing the scaled full image."""
+        s = self.rng.uniform(*self.scale_range)
+        h0, w0 = image.shape[:2]
+        nh, nw = int(round(h0 * s)), int(round(w0 * s))
+        ch, cw = self.crop_size
+        # padded extent the generic path would crop from
+        h, w = max(nh, ch), max(nw, cw)
+        y0 = self.rng.randint(0, h - ch + 1)
+        x0 = self.rng.randint(0, w - cw + 1)
+        # crop window ∩ resized extent (the rest is bottom/right padding)
+        oh, ow = min(ch, nh - y0), min(cw, nw - x0)
+        sy, sx = h0 / nh, w0 / nw
+        box = (x0 * sx, y0 * sy, (x0 + ow) * sx, (y0 + oh) * sy)
+        image = resize_image(image, (oh, ow), box=box)
+        # labels: numpy gather over the EXACT full-resize nearest grid —
+        # byte-identical to the materializing path (GT/superpixel ids get
+        # no tie jitter; only the bilinear image carries ±LSB noise)
+        yi = _pil_nearest_index(h0, nh)[y0:y0 + oh]
+        xi = _pil_nearest_index(w0, nw)[x0:x0 + ow]
+        labels = [l[yi[:, None], xi[None, :]] for l in labels]
+        if oh < ch or ow < cw:
+            image = np.pad(image, ((0, ch - oh), (0, cw - ow), (0, 0)),
+                           constant_values=0)
+            for c in range(3):
+                image[oh:, :, c] = self.img_pad[c]
+                image[:, ow:, c] = self.img_pad[c]
+            labels = [np.pad(l, ((0, ch - oh), (0, cw - ow)),
+                             constant_values=self.pad_values[i]
+                             if i < len(self.pad_values) else 255)
+                      for i, l in enumerate(labels)]
+        return image, labels
+
+    def _finish(self, image, labels):
         if self.hflip and self.rng.rand() < 0.5:
             image = image[:, ::-1]
             labels = [l[:, ::-1] for l in labels]

@@ -294,3 +294,117 @@ def test_eval_all_remove_dominant_and_withinmulti(disk_fixture):
     assert (wm["labels"][~wm["spmask"]] == cfg.ignore_idx).all()
     np.testing.assert_array_equal(wm["labels"][wm["spmask"]],
                                   plain["labels"][plain["spmask"]])
+
+
+def test_box_resize_matches_resize_then_crop():
+    """The train transform's box-resample fast path (PairedTransform.
+    _scaled_crop) reproduces the generic full-resize-then-crop up to
+    PIL's exact-tie rounding: same RNG draw order, bilinear image within
+    2 uint8 LSB on <12% of pixels (PIL evaluates bilinear filter
+    centers with different float rounding per path), nearest labels
+    BYTE-IDENTICAL (the fast path gathers over the exact full-resize
+    nearest grid), over scales covering both pad-if-needed and
+    in-bounds crops."""
+    from PIL import Image
+
+    from mulactseg_tpu.data.transforms import (
+        PairedTransform,
+        normalize,
+    )
+
+    H0, W0, CROP, NSEG = 100, 200, 80, 64
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, (H0, W0, 3), np.uint8)
+    gt = rng.randint(0, 19, (H0, W0)).astype(np.uint8)
+    spx = rng.randint(0, NSEG, (H0, W0)).astype(np.int32)
+
+    def generic(seed):
+        """Transcription of the materializing path."""
+        r = np.random.RandomState(seed)
+        s = r.uniform(0.5, 2.0)
+        nh, nw = int(round(H0 * s)), int(round(W0 * s))
+        im = np.asarray(Image.fromarray(img).resize((nw, nh),
+                                                    Image.BILINEAR))
+        g = np.asarray(Image.fromarray(gt).resize((nw, nh), Image.NEAREST))
+        sp = np.asarray(Image.fromarray(spx, mode="I").resize(
+            (nw, nh), Image.NEAREST))
+        labels = [g, sp]
+        h, w = im.shape[:2]
+        if h < CROP or w < CROP:
+            ph, pw = max(CROP - h, 0), max(CROP - w, 0)
+            im = np.pad(im, ((0, ph), (0, pw), (0, 0)))
+            for c, v in enumerate((124, 116, 104)):
+                im[h:, :, c] = v
+                im[:, w:, c] = v
+            labels = [np.pad(labels[0], ((0, ph), (0, pw)),
+                             constant_values=255),
+                      np.pad(labels[1], ((0, ph), (0, pw)),
+                             constant_values=NSEG)]
+            h, w = im.shape[:2]
+        y0 = r.randint(0, h - CROP + 1)
+        x0 = r.randint(0, w - CROP + 1)
+        im = im[y0:y0 + CROP, x0:x0 + CROP]
+        labels = [l[y0:y0 + CROP, x0:x0 + CROP] for l in labels]
+        if r.rand() < 0.5:
+            im = im[:, ::-1]
+            labels = [l[:, ::-1] for l in labels]
+        return (normalize(np.ascontiguousarray(im)),
+                [np.ascontiguousarray(l).astype(np.int32) for l in labels])
+
+    from mulactseg_tpu.data.constants import IMAGENET_STD
+    two_lsb = 2.0 / 255.0 / float(np.min(IMAGENET_STD)) + 1e-6
+    pad_seen = inbounds_seen = False
+    for seed in range(24):
+        tf = PairedTransform(scale_range=(0.5, 2.0), crop_size=(CROP, CROP),
+                             pad_values=[255, NSEG], hflip=True, seed=seed)
+        got_im, got_lb = tf(img, [gt, spx])
+        want_im, want_lb = generic(seed)
+        d = np.abs(got_im - want_im)
+        assert d.max() <= two_lsb, (seed, d.max())
+        assert (d > 1e-6).mean() < 0.12, (seed, (d > 1e-6).mean())
+        for a, b in zip(got_lb, want_lb):
+            np.testing.assert_array_equal(a, b, err_msg=f"seed {seed}")
+        s = np.random.RandomState(seed).uniform(0.5, 2.0)
+        if round(H0 * s) < CROP or round(W0 * s) < CROP:
+            pad_seen = True
+        else:
+            inbounds_seen = True
+    assert pad_seen and inbounds_seen  # both branches exercised
+
+
+def test_same_size_resize_identity_skip():
+    """resize_image skips the resample when the size already matches
+    (Cityscapes val resizes 1024x2048 images to 1024x2048 every step);
+    pinned equal to the actual PIL resample output."""
+    from PIL import Image
+
+    from mulactseg_tpu.data.transforms import resize_image
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 255, (40, 70, 3), np.uint8)
+    lbl = rng.randint(0, 19, (40, 70)).astype(np.int32)
+    np.testing.assert_array_equal(
+        resize_image(img, (40, 70)),
+        np.asarray(Image.fromarray(img).resize((70, 40), Image.BILINEAR)))
+    np.testing.assert_array_equal(
+        resize_image(lbl, (40, 70), nearest=True),
+        np.asarray(Image.fromarray(lbl, mode="I").resize((70, 40),
+                                                         Image.NEAREST)))
+
+
+def test_pil_nearest_index_exact():
+    """_pil_nearest_index replicates PIL's NEAREST source-index choice
+    exactly, including accumulated-rounding ties, over random shapes."""
+    from PIL import Image
+
+    from mulactseg_tpu.data.transforms import _pil_nearest_index
+
+    rng = np.random.RandomState(11)
+    for _ in range(80):
+        w0 = rng.randint(3, 400)
+        nw = rng.randint(3, 500)
+        a = np.arange(w0, dtype=np.int32)[None, :].repeat(2, 0)
+        pil = np.asarray(Image.fromarray(a, mode="I").resize(
+            (nw, 2), Image.NEAREST))[0]
+        np.testing.assert_array_equal(_pil_nearest_index(w0, nw), pil,
+                                      err_msg=f"{w0}->{nw}")
