@@ -71,7 +71,21 @@ def _pil_nearest_index(n_src: int, n_out: int) -> np.ndarray:
     return np.minimum(xs.astype(np.int64), n_src - 1)
 
 
+# uint8 -> normalized float32 as a 256-entry per-channel table: the same
+# float ops evaluated on every possible byte, so the gather is
+# bit-identical to the arithmetic path below — and ~3x faster (the train
+# loader normalizes a 768^2 crop per item)
+_NORM_LUT = ((np.arange(256, dtype=np.float32)[:, None] / 255.0
+              - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+
+
 def normalize(img_u8: np.ndarray) -> np.ndarray:
+    if img_u8.dtype == np.uint8 and img_u8.ndim == 3 and \
+            img_u8.shape[-1] == _NORM_LUT.shape[1]:
+        out = np.empty(img_u8.shape, np.float32)
+        for c in range(_NORM_LUT.shape[1]):
+            out[..., c] = _NORM_LUT[img_u8[..., c], c]
+        return out
     x = img_u8.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
 

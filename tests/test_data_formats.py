@@ -408,3 +408,24 @@ def test_pil_nearest_index_exact():
             (nw, 2), Image.NEAREST))[0]
         np.testing.assert_array_equal(_pil_nearest_index(w0, nw), pil,
                                       err_msg=f"{w0}->{nw}")
+
+
+def test_normalize_lut_bit_identical():
+    """The uint8 LUT fast path of normalize() is bit-identical to the
+    arithmetic path (same float ops per byte value); non-uint8 input
+    falls through to arithmetic."""
+    from mulactseg_tpu.data.constants import IMAGENET_MEAN, IMAGENET_STD
+    from mulactseg_tpu.data.transforms import normalize
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (33, 47, 3)).astype(np.uint8)
+    want = (img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    got = normalize(img)
+    assert got.dtype == np.float32
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+    # non-contiguous (hflip view) input
+    np.testing.assert_array_equal(normalize(img[:, ::-1]),
+                                  normalize(np.ascontiguousarray(img[:, ::-1])))
+    # fallback path still works for float input
+    f = img.astype(np.float32)
+    np.testing.assert_allclose(normalize(f), want, rtol=1e-6)
