@@ -132,6 +132,10 @@ class Config:
 
     # --- system ---------------------------------------------------------------
     steps_per_dispatch: int = 1   # >1: device-side lax.scan over K steps
+    # train loader emits uint8 crops and normalization moves on-device
+    # (engine/train._build_loss_fn): 4x less host stacking + transfer per
+    # super-batch. Off by default pending a measured TPU win.
+    ship_uint8: bool = False
     seed: int = 0
     dtype: str = "bfloat16"              # compute dtype for conv stack
     profile: bool = False

@@ -100,6 +100,7 @@ class PairedTransform:
                  img_pad: Tuple[int, int, int] = (124, 116, 104),
                  hflip: bool = False,
                  resize_to: Optional[Tuple[int, int]] = None,
+                 emit_u8: bool = False,
                  seed: int = 0):
         self.scale_range = scale_range
         self.crop_size = crop_size
@@ -107,6 +108,9 @@ class PairedTransform:
         self.img_pad = img_pad
         self.hflip = hflip
         self.resize_to = resize_to
+        # skip host normalization, hand the uint8 crop through (the train
+        # step normalizes on device when it sees a uint8 batch)
+        self.emit_u8 = emit_u8
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, image: np.ndarray, labels: List[np.ndarray]):
@@ -197,7 +201,9 @@ class PairedTransform:
             image = image[:, ::-1]
             labels = [l[:, ::-1] for l in labels]
 
-        image = normalize(np.ascontiguousarray(image))
+        image = np.ascontiguousarray(image)
+        if not self.emit_u8:
+            image = normalize(image)
         labels = [np.ascontiguousarray(l).astype(np.int32) for l in labels]
         return image, labels
 
@@ -205,22 +211,24 @@ class PairedTransform:
 def get_train_transform(name: str, cfg, seed: int = 0) -> PairedTransform:
     """Named registry (dataloader/transform.py:5-171)."""
     crop = tuple(cfg.crop_size)
+    u8 = getattr(cfg, "ship_uint8", False)
     if name in ("rescale_769_multi_notrg", "rescale_513_multi_notrg"):
         # train: image + [spx]; pad spx with nseg
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
-                               pad_values=[cfg.nseg], hflip=True, seed=seed)
+                               pad_values=[cfg.nseg], hflip=True,
+                               emit_u8=u8, seed=seed)
     if name in ("rescale_769_multi_ignore_notrg",
                 "rescale_513_multi_ignore_notrg"):
         # _ignore loaders: image + [GT, spx]; per-label pad values
         # (dataloader/transform.py:62 pattern)
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.ignore_idx, cfg.nseg],
-                               hflip=True, seed=seed)
+                               hflip=True, emit_u8=u8, seed=seed)
     if name in ("rescale_769_nospx", "rescale_513_notrg"):
         # stage-2: image + [plbl GT]; pad with ignore
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.ignore_idx], hflip=True,
-                               seed=seed)
+                               emit_u8=u8, seed=seed)
     if name == "eval_spx" or name == "eval_spx_identity":
         return PairedTransform(seed=seed)  # identity + normalize
     raise KeyError(f"unknown transform {name!r}")

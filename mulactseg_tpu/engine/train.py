@@ -506,6 +506,18 @@ def get_criterion(cfg):
     return CRITERIA[cfg.method](cfg)
 
 
+def _device_normalize(x):
+    """On-device twin of data/transforms.normalize for uint8 batches
+    (cfg.ship_uint8: the loader hands crops through as uint8 — 4x less
+    host stacking + transfer — and normalization fuses into the input
+    cast here). Same op order as the host arithmetic path."""
+    from mulactseg_tpu.data.constants import IMAGENET_MEAN, IMAGENET_STD
+
+    x = x.astype(jnp.float32) / 255.0
+    return (x - jnp.asarray(IMAGENET_MEAN, jnp.float32)) / jnp.asarray(
+        IMAGENET_STD, jnp.float32)
+
+
 def _build_loss_fn(model, cfg, criterion):
     needs_feat = getattr(criterion, "needs_feat", False)
     needs_weak = getattr(criterion, "needs_weak_forward", False)
@@ -517,6 +529,13 @@ def _build_loss_fn(model, cfg, criterion):
     total_itrs = float(cfg.finetune_itrs)
 
     def loss_fn(params, batch_stats, batch, rng, step_no):
+        if batch["images"].dtype == jnp.uint8:
+            batch = dict(batch)
+            batch["images"] = _device_normalize(batch["images"])
+            if ("images_weak" in batch
+                    and batch["images_weak"].dtype == jnp.uint8):
+                batch["images_weak"] = _device_normalize(
+                    batch["images_weak"])
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["images"], train=True, mutable=["batch_stats"],

@@ -147,3 +147,40 @@ def test_nchw_logits_handoff_matches_nhwc(setup):
     for a, c in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_uint8_batch_matches_host_normalized(setup):
+    """cfg.ship_uint8 path: a uint8 image batch is normalized on device
+    (engine/train._device_normalize) and produces the same loss/update as
+    the host-normalized float32 batch — same op order, so differences are
+    at f32 ULP level."""
+    from mulactseg_tpu.data.transforms import PairedTransform, normalize
+
+    cfg, ds, model, state = setup
+    step = make_train_step(model, cfg, donate=False)
+    b = _batch(ds, [0, 1])
+    rng = np.random.RandomState(9)
+    img_u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    base = {k: jnp.asarray(b[k]) for k in ("target", "spx", "spmask")}
+    rkey = jax.random.PRNGKey(3)
+
+    f32 = dict(base, images=jnp.asarray(
+        np.stack([normalize(im) for im in img_u8])))
+    _, aux_f = step(state, f32, rkey)
+    u8 = dict(base, images=jnp.asarray(img_u8))
+    assert u8["images"].dtype == jnp.uint8
+    _, aux_u = step(state, u8, rkey)
+    np.testing.assert_allclose(float(aux_f["train_loss"]),
+                               float(aux_u["train_loss"]), rtol=1e-5)
+
+    # transform plumbing: emit_u8 hands the uint8 crop through, and
+    # host-normalizing it reproduces the default output exactly
+    img = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+    spx = rng.randint(0, 16, (48, 64)).astype(np.int32)
+    kw = dict(scale_range=(0.5, 2.0), crop_size=(32, 32), pad_values=[16],
+              hflip=True, seed=4)
+    out_f, lb_f = PairedTransform(**kw)(img, [spx])
+    out_u, lb_u = PairedTransform(emit_u8=True, **kw)(img, [spx])
+    assert out_u.dtype == np.uint8
+    np.testing.assert_array_equal(normalize(out_u), out_f)
+    np.testing.assert_array_equal(lb_u[0], lb_f[0])

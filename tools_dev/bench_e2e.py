@@ -74,6 +74,8 @@ def main():
     ap.add_argument("--images", type=int, default=8)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--root", default="/tmp/bench_e2e_data")
+    ap.add_argument("--ship-u8", action="store_true",
+                    help="uint8 crops + on-device normalization")
     args = ap.parse_args()
 
     from mulactseg_tpu.config import Config
@@ -95,6 +97,7 @@ def main():
                  method="active_joint_multi_predignore_lossdecomp",
                  dtype="bfloat16", num_workers=4, val_num_workers=0,
                  steps_per_dispatch=8, finetune_itrs=args.iters,
+                 ship_uint8=args.ship_u8,
                  model_save_dir="/tmp/bench_e2e_run", save_scores=False)
     active_set, _ = build_active_datasets(cfg)
     label = active_set.trg_label_dataset

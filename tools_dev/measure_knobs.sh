@@ -27,4 +27,11 @@ run scatter      MULACTSEG_NCHW_SCATTER=1
 run baseline     MULACTSEG_DUMMY=0
 run autolayout   MULACTSEG_AUTO_LAYOUT=1
 run scatter_auto MULACTSEG_NCHW_SCATTER=1 MULACTSEG_AUTO_LAYOUT=1
+
+echo "=== voc ($(date +%H:%M:%S)) ===" | tee -a "$out"
+if timeout 5400 python tools_dev/bench_voc.py > /tmp/knobs_voc.log 2>&1; then
+  tail -1 /tmp/knobs_voc.log | tee -a "$out"
+else
+  echo "voc FAILED rc=$? (see /tmp/knobs_voc.log)" | tee -a "$out"
+fi
 echo "=== done $(date +%H:%M:%S) ===" | tee -a "$out"
