@@ -211,6 +211,7 @@ class RegionDatasetOr:
             # like the strong transform's own stream
             self._weak_tf = PairedTransform(
                 resize_to=weak_size, hflip=async_weak_hflip,
+                emit_u8=getattr(cfg, "ship_uint8", False),
                 seed=cfg.seed + 7919)
         self.cfg = cfg
         self.split = split

@@ -37,10 +37,11 @@ def resize_image(img: np.ndarray, size_hw: Tuple[int, int],
     resize(size, box=b) computes the same sampling grid as full resize +
     crop. NOT bit-identical: PIL evaluates centers with different float
     rounding per path (incremental accumulation in the C affine loop), so
-    exact-tie pixels differ — ±1-2 uint8 LSB on <1% of bilinear pixels,
-    nearest picks the adjacent source pixel on ~1-2% of tie columns
-    (boundary jitter). Bounds pinned by tests/test_data_formats.py::
-    test_box_resize_matches_resize_then_crop."""
+    exact-tie pixels differ — ±1-2 uint8 LSB on up to ~10% of bilinear
+    pixels at downscales (pinned <12% with max 2 LSB by
+    tests/test_data_formats.py::test_box_resize_matches_resize_then_crop).
+    Nearest-tie jitter would flip label pixels, so the train fast path
+    does NOT use box nearest for labels — see _scaled_crop."""
     if box is None and img.shape[:2] == tuple(size_hw):
         # same-size bilinear/nearest resample is the identity; Cityscapes
         # val hits this on every image (resize 1024x2048 -> 1024x2048)
@@ -144,16 +145,7 @@ class PairedTransform:
             ch, cw = self.crop_size
             h, w = image.shape[:2]
             if h < ch or w < cw:  # pad_if_needed with per-label values
-                ph, pw = max(ch - h, 0), max(cw - w, 0)
-                image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
-                               constant_values=0)
-                for c in range(3):
-                    image[h:, :, c] = self.img_pad[c]
-                    image[:, w:, c] = self.img_pad[c]
-                labels = [np.pad(l, ((0, ph), (0, pw)),
-                                 constant_values=self.pad_values[i]
-                                 if i < len(self.pad_values) else 255)
-                          for i, l in enumerate(labels)]
+                image, labels = self._pad_to(image, labels, ch, cw)
                 h, w = image.shape[:2]
             y0 = self.rng.randint(0, h - ch + 1)
             x0 = self.rng.randint(0, w - cw + 1)
@@ -185,15 +177,23 @@ class PairedTransform:
         xi = _pil_nearest_index(w0, nw)[x0:x0 + ow]
         labels = [l[yi[:, None], xi[None, :]] for l in labels]
         if oh < ch or ow < cw:
-            image = np.pad(image, ((0, ch - oh), (0, cw - ow), (0, 0)),
-                           constant_values=0)
-            for c in range(3):
-                image[oh:, :, c] = self.img_pad[c]
-                image[:, ow:, c] = self.img_pad[c]
-            labels = [np.pad(l, ((0, ch - oh), (0, cw - ow)),
-                             constant_values=self.pad_values[i]
-                             if i < len(self.pad_values) else 255)
-                      for i, l in enumerate(labels)]
+            image, labels = self._pad_to(image, labels, ch, cw)
+        return image, labels
+
+    def _pad_to(self, image, labels, ch, cw):
+        """Bottom/right pad to (ch, cw): image with img_pad per channel,
+        each label with its own pad value (dataloader/transform.py:62)."""
+        h, w = image.shape[:2]
+        ph, pw = max(ch - h, 0), max(cw - w, 0)
+        image = np.pad(image, ((0, ph), (0, pw), (0, 0)),
+                       constant_values=0)
+        for c in range(3):
+            image[h:, :, c] = self.img_pad[c]
+            image[:, w:, c] = self.img_pad[c]
+        labels = [np.pad(l, ((0, ph), (0, pw)),
+                         constant_values=self.pad_values[i]
+                         if i < len(self.pad_values) else 255)
+                  for i, l in enumerate(labels)]
         return image, labels
 
     def _finish(self, image, labels):

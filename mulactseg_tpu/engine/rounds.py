@@ -162,7 +162,13 @@ class ALTrainer:
             import ml_dtypes
 
             def post(batch):  # bf16 images host-side: halves the transfer
-                batch["images"] = batch["images"].astype(ml_dtypes.bfloat16)
+                # uint8 crops (cfg.ship_uint8) stay uint8 — casting here
+                # would both lose the 1-byte/px transfer and defeat the
+                # dtype check that triggers on-device normalization
+                # (engine/train._build_loss_fn)
+                for k in ("images", "images_weak"):
+                    if k in batch and batch[k].dtype != np.uint8:
+                        batch[k] = batch[k].astype(ml_dtypes.bfloat16)
                 return batch
         loader = DataProvider(trainset, cfg.train_batch_size, shuffle=True,
                               drop_last=True, infinite=True,

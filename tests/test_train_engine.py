@@ -184,3 +184,36 @@ def test_uint8_batch_matches_host_normalized(setup):
     assert out_u.dtype == np.uint8
     np.testing.assert_array_equal(normalize(out_u), out_f)
     np.testing.assert_array_equal(lb_u[0], lb_f[0])
+
+
+def test_ship_uint8_through_altrainer_matches_f32(tmp_path):
+    """Regression: the bf16 loader post hook must NOT cast uint8 crops
+    (that would defeat the dtype check that triggers on-device
+    normalization — the model would train on raw 0..255 inputs). The
+    full ALTrainer dispatch with ship_uint8=True reproduces the
+    host-normalized run's loss trace to bf16 tolerance."""
+    from mulactseg_tpu.active import RegionActiveSet
+    from mulactseg_tpu.data.transforms import get_train_transform
+    from mulactseg_tpu.engine.rounds import ALTrainer
+
+    def run(ship_u8):
+        cfg = Config(num_classes=5, nseg=16, crop_size=(32, 32),
+                     train_batch_size=2, finetune_itrs=4, val_period=100,
+                     steps_per_dispatch=2, dtype="bfloat16", train_lr=1e-3,
+                     n_devices=1, num_workers=0, ship_uint8=ship_u8,
+                     model="deeplabv3pluswn_resnet50deepstem",
+                     method="active_joint_multi_predignore_lossdecomp",
+                     model_save_dir=str(tmp_path), loader="synthetic")
+        ds = SyntheticRegionDataset(n_images=2, H=32, W=32, num_classes=5,
+                                    nseg=16)
+        ds.transform = get_train_transform("rescale_769_multi_notrg", cfg)
+        item = ds[0]
+        assert item["images"].dtype == (np.uint8 if ship_u8 else np.float32)
+        active = RegionActiveSet(cfg, ds, ds)
+        tr = ALTrainer(cfg, 1)
+        seen = []
+        tr.train(active, metrics_cb=lambda it, aux: seen.append(aux),
+                 log_every=1)
+        return [float(a["train_loss"]) for a in seen]
+
+    np.testing.assert_allclose(run(False), run(True), rtol=5e-3)
