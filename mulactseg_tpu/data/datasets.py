@@ -285,8 +285,10 @@ class RegionDatasetOr:
         if self.split == "active-ulabel":
             if self.transform is not None:
                 image, (spx,) = self.transform(image, [spx])
-            else:
+            elif not getattr(self.cfg, "ship_uint8", False):
                 image = normalize(image)
+            # else: uint8 straight through — pool scoring ships 6 MB/image
+            # instead of 24 MB and make_eval_step normalizes on device
             return {"images": image, "spx": spx.astype(np.int32),
                     "target": target, "fnames": self.im_idx[index]}
 

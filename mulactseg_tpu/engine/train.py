@@ -626,6 +626,8 @@ def make_train_step_scan(model, cfg, steps_per_dispatch: int,
 def make_eval_step(model):
     @jax.jit
     def step(params, batch_stats, images):
+        if images.dtype == jnp.uint8:  # cfg.ship_uint8 pool batches
+            images = _device_normalize(images)
         return model.apply({"params": params, "batch_stats": batch_stats},
                            images, train=False)
     return step

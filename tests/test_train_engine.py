@@ -217,3 +217,19 @@ def test_ship_uint8_through_altrainer_matches_f32(tmp_path):
         return [float(a["train_loss"]) for a in seen]
 
     np.testing.assert_allclose(run(False), run(True), rtol=5e-3)
+
+
+def test_eval_step_uint8_matches_host_normalized(setup):
+    """make_eval_step normalizes uint8 pool batches on device
+    (cfg.ship_uint8 pool scoring) — same logits as host-normalized f32."""
+    from mulactseg_tpu.data.transforms import normalize
+
+    cfg, ds, model, state = setup
+    step = make_eval_step(model)
+    rng = np.random.RandomState(13)
+    img_u8 = rng.randint(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+    lg_u8 = step(state.params, state.batch_stats, jnp.asarray(img_u8))
+    lg_f = step(state.params, state.batch_stats, jnp.asarray(
+        np.stack([normalize(im) for im in img_u8])))
+    np.testing.assert_allclose(np.asarray(lg_u8), np.asarray(lg_f),
+                               rtol=1e-4, atol=1e-5)
