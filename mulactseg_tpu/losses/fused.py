@@ -25,10 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mulactseg_tpu.ops.segment import (
-    segment_softmax_max,
-    segment_softmax_max_nchw,
-)
+from mulactseg_tpu.ops.segment import segment_softmax_max_nchw
 
 EPS = 1e-8
 
@@ -76,7 +73,6 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
     (measured perf-neutral on the current chip, see DeepLabV3)."""
     from mulactseg_tpu.ops.pixel_loss_pallas import (
         CHUNK,
-        pixel_partial_ce,
         pixel_partial_ce_nchw,
     )
 
@@ -84,31 +80,29 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
         B, C, H, W = logits.shape
     else:
         B, H, W, C = logits.shape
-    N = B * H * W
 
     # --- CE + MC terms: one streaming Pallas pass over the logits ---------
-    nchw_ok = (H * W) % CHUNK == 0
-    if nchw and not nchw_ok:
-        # odd spatial size: fall back to the row-major kernels
-        logits = jnp.transpose(logits, (0, 2, 3, 1))
-        nchw = False
-    # keep the model's dtype: the CE/MC Pallas kernel and the segment
-    # gather both cast to f32 in-register, so materializing a lane-padded
-    # copy here would only burn HBM bandwidth
-    lg = None if nchw else logits.reshape(N, C)
-    bits = target_bits.reshape(N).astype(jnp.int32)
-    if nchw_ok:
-        # channels-on-sublanes: reads the logits through their native
-        # NCHW layout (no 20->128 lane padding — the row-major view
-        # costs a ~190 MB relayout + 6.4x padded reads)
-        lgc = (logits.reshape(B, C, H * W) if nchw
-               else jnp.transpose(logits, (0, 3, 1, 2)).reshape(B, C, H * W))
-        bits3 = target_bits.reshape(B, 1, H * W).astype(jnp.int32)
-        oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce_nchw(
-            lgc, bits3, multi_ce_temp)
-    else:
-        oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce(lg, bits,
-                                                          multi_ce_temp)
+    # channels-on-sublanes: reads the logits through their native NCHW
+    # layout (no 20->128 lane padding — the row-major view costs a
+    # ~190 MB relayout + 6.4x padded reads). Odd spatial sizes (VOC 513^2)
+    # are zero-padded on the pixel axis to a CHUNK multiple: the pad
+    # pixels carry bits 0 (invalid), so every sum/count is unchanged and
+    # they land in the dummy segment bucket of the group term — exact, at
+    # <=0.4% extra pixels instead of the row-major fallback's relayout.
+    # Keep the model's dtype: the kernels cast to f32 in-register.
+    lgc = (logits.reshape(B, C, H * W) if nchw
+           else jnp.transpose(logits, (0, 3, 1, 2)).reshape(B, C, H * W))
+    bits3 = target_bits.reshape(B, 1, H * W).astype(jnp.int32)
+    spx_flat = spx.reshape(B, H * W)
+    rem = (H * W) % CHUNK
+    if rem:
+        pad = CHUNK - rem
+        lgc = jnp.pad(lgc, ((0, 0), (0, 0), (0, pad)))
+        bits3 = jnp.pad(bits3, ((0, 0), (0, 0), (0, pad)))
+        spx_flat = jnp.pad(spx_flat, ((0, 0), (0, pad)))
+    HWp = lgc.shape[-1]
+    oh_sum, oh_cnt, mh_sum, mh_cnt = pixel_partial_ce_nchw(
+        lgc, bits3, multi_ce_temp)
     ce = oh_sum / (1.0 + oh_cnt)
     mc = mh_sum / (1.0 + mh_cnt)
 
@@ -118,20 +112,18 @@ def lossdecomp_fused(logits, target_bits, targets, spx, *, nseg,
     # (vmapped scatters serialize into while loops on TPU)
     # candidate count via popcount on the low C bits — no (N, C)
     # bit-expansion intermediate (lane-padded (N, 20) i32 costs real HBM)
+    P = B * HWp
     mh_pix = jax.lax.population_count(
-        bits & jnp.int32((1 << C) - 1)) > 1
-    off = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * nseg, H * W)
-    sid = jnp.where(mh_pix, spx.reshape(N) + off, B * nseg)
-    if nchw_ok:
-        # NCHW path: softmax + raster-block pre-reduction + lane pad in
-        # one kernel pass over the native layout; the sorted gather then
-        # touches ~4x fewer rows (ops/segment.segment_softmax_max_nchw)
-        mx, pix = segment_softmax_max_nchw(lgc, sid, B * nseg,
-                                           group_ce_temp)
-    else:
-        mx, pix = segment_softmax_max(lg / group_ce_temp, sid, B * nseg)
+        bits3.reshape(P) & jnp.int32((1 << C) - 1)) > 1
+    off = jnp.repeat(jnp.arange(B, dtype=jnp.int32) * nseg, HWp)
+    sid = jnp.where(mh_pix, spx_flat.reshape(P) + off, B * nseg)
+    # NCHW path: softmax + raster-block pre-reduction + lane pad in
+    # one kernel pass over the native layout; the sorted gather then
+    # touches ~4x fewer rows (ops/segment.segment_softmax_max_nchw)
+    mx, pix = segment_softmax_max_nchw(lgc, sid, B * nseg,
+                                       group_ce_temp)
     mx = mx.reshape(B, nseg, C)
-    present = (pix[:, 0] < N).reshape(B, nseg)
+    present = (pix[:, 0] < P).reshape(B, nseg)
     entry = (targets > 0.5) & present[:, :, None]
     gnll = -jnp.log(mx + EPS)
     group = jnp.sum(jnp.where(entry, gnll, 0.0)) / (1.0 + jnp.sum(entry))
