@@ -28,10 +28,12 @@ run baseline     MULACTSEG_DUMMY=0
 run autolayout   MULACTSEG_AUTO_LAYOUT=1
 run scatter_auto MULACTSEG_NCHW_SCATTER=1 MULACTSEG_AUTO_LAYOUT=1
 
-echo "=== voc ($(date +%H:%M:%S)) ===" | tee -a "$out"
-if timeout 5400 python tools_dev/bench_voc.py > /tmp/knobs_voc.log 2>&1; then
-  tail -1 /tmp/knobs_voc.log | tee -a "$out"
-else
-  echo "voc FAILED rc=$? (see /tmp/knobs_voc.log)" | tee -a "$out"
-fi
+for extra in voc stage2; do
+  echo "=== $extra ($(date +%H:%M:%S)) ===" | tee -a "$out"
+  if timeout 5400 python tools_dev/bench_"$extra".py > /tmp/knobs_"$extra".log 2>&1; then
+    tail -1 /tmp/knobs_"$extra".log | tee -a "$out"
+  else
+    echo "$extra FAILED rc=$? (see /tmp/knobs_$extra.log)" | tee -a "$out"
+  fi
+done
 echo "=== done $(date +%H:%M:%S) ===" | tee -a "$out"
