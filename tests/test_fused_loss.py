@@ -517,3 +517,42 @@ def test_segment_softmax_max_nchw_dense_fallback():
     np.testing.assert_allclose(np.asarray(mx), np.asarray(want_mx),
                                rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
+
+
+def test_scatter_softmax_max_nchw_production_shape():
+    """Scatter kernel at production-like structure: C=20 classes, B=2,
+    irregular SEEDS-like runs over 2 chunks, ~64 segments/image with some
+    absent + a dummy stretch — values and first-argmax pixels must equal
+    the dense f32 reference exactly (the config the default-flip decision
+    rides on)."""
+    from mulactseg_tpu.data.synthetic import irregular_superpixels
+    from mulactseg_tpu.ops.segment import seg_context, seg_max_argmax
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        scatter_softmax_max_nchw,
+    )
+
+    rng = np.random.RandomState(41)
+    B, C, S_img = 2, 20, 64
+    HW = 2 * NCHW_CHUNK
+    S = B * S_img
+    lg = rng.randn(B, C, HW).astype(np.float32)
+    rows_hw = 64  # treat the pixel axis as a (64, 64) image for SEEDS runs
+    sid = np.stack([
+        irregular_superpixels(rows_hw, HW // rows_hw, S_img, rng).reshape(-1)
+        for _ in range(B)])
+    sid[:, -NCHW_CHUNK // 4:] = S_img  # trailing dummy stretch (pad pixels)
+    gsid = np.where(sid >= S_img, S,
+                    sid + np.arange(B)[:, None] * S_img).reshape(-1)
+
+    temp = 0.5  # exactly-representable (see dbl-sweep test above)
+    mx, pix = scatter_softmax_max_nchw(
+        jnp.asarray(lg), jnp.asarray(gsid.reshape(B, 1, HW)), temp, S,
+        interpret=True, dbl=6)
+    rows = jnp.asarray(np.swapaxes(lg, 1, 2).reshape(B * HW, C))
+    probs = jax.nn.softmax(rows / temp, axis=-1)
+    want_mx, want_pix = seg_max_argmax(
+        seg_context(jnp.asarray(gsid), S), probs, fill=0.0)
+    np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(want_mx),
+                               rtol=1e-6)
