@@ -87,6 +87,19 @@ class _DecodeCache:
 _decode_cache = _DecodeCache()
 
 
+def spmask_from_selected(spx: np.ndarray, selected,
+                         nseg: int) -> np.ndarray:
+    """np.isin(spx, selected) for superpixel maps, ~2x faster as a boolean
+    LUT gather: spx values are ids < nseg plus the crop-pad value nseg
+    (transform.py:62 convention), so a (nseg+1)-entry table covers every
+    pixel; out-of-range ids clip onto the never-selected pad row."""
+    lut = np.zeros(nseg + 1, bool)
+    sel = np.asarray(selected, np.int64)
+    if sel.size:
+        lut[sel[sel < nseg]] = True
+    return lut[np.minimum(spx, nseg)]
+
+
 def open_image(path: str) -> np.ndarray:
     """Decoded RGB uint8 (cached; treat as read-only)."""
     return _decode_cache.get(
@@ -314,7 +327,7 @@ class RegionDatasetOr:
         spx = labels[idx].astype(np.int32)
         idx += 1
         selected = self.suppix.get(spx_p, [])
-        spmask = np.isin(spx, selected)
+        spmask = spmask_from_selected(spx, selected, self.cfg.nseg)
         if self.ignore_gt_in_spmask:
             spmask &= gt_t != self.cfg.ignore_idx
         sample = {"images": image, "target": target, "spx": spx,
@@ -348,7 +361,7 @@ class RegionDatasetOr:
                 j += 1
             spx_w = wl[j].astype(np.int32)
             j += 1
-            spmask_w = np.isin(spx_w, selected)
+            spmask_w = spmask_from_selected(spx_w, selected, self.cfg.nseg)
             if self.ignore_gt_in_spmask and gt_w is not None:
                 spmask_w &= gt_w != self.cfg.ignore_idx
             sample["images_weak"] = img_w

@@ -169,7 +169,19 @@ class PairedTransform:
         oh, ow = min(ch, nh - y0), min(cw, nw - x0)
         sy, sx = h0 / nh, w0 / nw
         box = (x0 * sx, y0 * sy, (x0 + ow) * sx, (y0 + oh) * sy)
-        image = resize_image(image, (oh, ow), box=box)
+        # slice the source down to the window the filter can actually
+        # read (box + bilinear support, which scales as max(s, 1) on
+        # downscales, + rounding slack): PIL's fromarray copies its whole
+        # input, so handing it the full image costs a full-image copy per
+        # item. Integer window shift => identical sampling arithmetic.
+        mgx, mgy = int(np.ceil(max(sx, 1.0))) + 2, int(np.ceil(max(sy, 1.0))) + 2
+        wx0 = max(int(np.floor(box[0])) - mgx, 0)
+        wy0 = max(int(np.floor(box[1])) - mgy, 0)
+        wx1 = min(int(np.ceil(box[2])) + mgx, w0)
+        wy1 = min(int(np.ceil(box[3])) + mgy, h0)
+        image = resize_image(image[wy0:wy1, wx0:wx1], (oh, ow),
+                             box=(box[0] - wx0, box[1] - wy0,
+                                  box[2] - wx0, box[3] - wy0))
         # labels: numpy gather over the EXACT full-resize nearest grid —
         # byte-identical to the materializing path (GT/superpixel ids get
         # no tie jitter; only the bilinear image carries ±LSB noise)

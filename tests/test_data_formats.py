@@ -429,3 +429,56 @@ def test_normalize_lut_bit_identical():
     # fallback path still works for float input
     f = img.astype(np.float32)
     np.testing.assert_allclose(normalize(f), want, rtol=1e-6)
+
+
+def test_windowed_box_resize_byte_equal():
+    """Slicing the source to the filter window (+ support margin) before
+    a PIL box resize matches box-resizing the full image to within 1
+    uint8 LSB on a small fraction of pixels (tie density grows at
+    strong downscales; the composite transform is pinned separately) (the integer window shift changes PIL's
+    float center evaluation by 1 ULP, flipping rare rounding ties; the
+    sampling grid itself is unchanged). This is what PairedTransform.
+    _scaled_crop does to avoid fromarray copying the whole source per
+    item."""
+    from mulactseg_tpu.data.transforms import resize_image
+
+    rng = np.random.RandomState(17)
+    H0, W0 = 100, 200
+    img = rng.randint(0, 256, (H0, W0, 3)).astype(np.uint8)
+    for seed in range(40):
+        r = np.random.RandomState(seed)
+        s = r.uniform(0.5, 2.0)
+        nh, nw = int(round(H0 * s)), int(round(W0 * s))
+        oh = r.randint(1, min(60, nh) + 1)
+        ow = r.randint(1, min(60, nw) + 1)
+        y0 = r.randint(0, nh - oh + 1)
+        x0 = r.randint(0, nw - ow + 1)
+        sy, sx = H0 / nh, W0 / nw
+        box = (x0 * sx, y0 * sy, (x0 + ow) * sx, (y0 + oh) * sy)
+        full = resize_image(img, (oh, ow), box=box)
+        mgx = int(np.ceil(max(sx, 1.0))) + 2
+        mgy = int(np.ceil(max(sy, 1.0))) + 2
+        wx0 = max(int(np.floor(box[0])) - mgx, 0)
+        wy0 = max(int(np.floor(box[1])) - mgy, 0)
+        wx1 = min(int(np.ceil(box[2])) + mgx, W0)
+        wy1 = min(int(np.ceil(box[3])) + mgy, H0)
+        win = resize_image(img[wy0:wy1, wx0:wx1], (oh, ow),
+                           box=(box[0] - wx0, box[1] - wy0,
+                                box[2] - wx0, box[3] - wy0))
+        d = np.abs(win.astype(int) - full.astype(int))
+        assert d.max() <= 1, (seed, d.max())
+        assert (d != 0).mean() < 0.15, (seed, (d != 0).mean())
+
+
+def test_spmask_lut_matches_isin():
+    """spmask_from_selected == np.isin for superpixel maps, including the
+    crop-pad value nseg and an empty selection."""
+    from mulactseg_tpu.data.datasets import spmask_from_selected
+
+    rng = np.random.RandomState(19)
+    nseg = 64
+    spx = rng.randint(0, nseg + 1, (37, 53)).astype(np.int32)  # incl. pad
+    for n_sel in (0, 1, 7, 40):
+        sel = list(rng.choice(nseg, n_sel, replace=False))
+        np.testing.assert_array_equal(
+            spmask_from_selected(spx, sel, nseg), np.isin(spx, sel))
