@@ -66,8 +66,10 @@ def build_active_datasets(cfg):
     # the _ignore family AND the oracle family incl. woignore) needs the
     # _multi_ignore_ transform's per-label pad values [255, nseg] — a
     # 1-entry pad list would pad GT with nseg on small scale draws
-    if (("ignore" in cfg.loader or "oracle" in cfg.loader)
-            and "ignore" not in tf_name):
+    # or_plbl rides the same two-label transform: [plbl, spx] needs pad
+    # values [255, nseg] exactly like [gt, spx]
+    if (("ignore" in cfg.loader or "oracle" in cfg.loader
+         or "or_plbl" in cfg.loader) and "ignore" not in tf_name):
         tf_name = tf_name.replace("_multi_", "_multi_ignore_")
     train_tf = get_train_transform(tf_name, cfg, seed=cfg.seed)
     weak_size = (1024, 2048) if cfg.dataset == "cityscapes" else None
@@ -84,6 +86,20 @@ def build_active_datasets(cfg):
         # eval_region_cityscapes_ratiofilt_all.py inherits the ratiofilter
         # multi-hot rewrite under a shortened loader name
         mh_transform = "ratiofilter"
+    plbl_dir = None
+    if "or_plbl" in cfg.loader:
+        # or_plbl: previous round's saved pseudo-labels join the multi-hot
+        # sample; directory derived from the resume checkpoint exactly like
+        # stage 2 (region_cityscapes_or_plbl.py:17-23). Keyed on 'or_plbl'
+        # so the stage-2 non-or 'region_plbl' loader does not trip it.
+        from mulactseg_tpu.plbl.generator import plbl_save_dir
+
+        if not cfg.resume_checkpoint:
+            raise ValueError(
+                "loader '%s' needs --resume-checkpoint to locate the "
+                "plbl_gen round directory" % cfg.loader)
+        plbl_dir = plbl_save_dir(cfg.resume_checkpoint, cfg.plbl_type,
+                                 f"{cfg.init_iteration:02d}")
     label = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                             split="active-label", transform=train_tf,
                             encode_fn=encode,
@@ -100,7 +116,8 @@ def build_active_datasets(cfg):
                             weak_size=weak_size,
                             multihot_transform=mh_transform,
                             oracle_labels="oracle" in cfg.loader,
-                            oracle_keep_ignore="woignore" in cfg.loader)
+                            oracle_keep_ignore="woignore" in cfg.loader,
+                            plbl_dir=plbl_dir)
     pool = RegionDatasetOr(cfg, cfg.trg_datalist, cfg.region_dict,
                            split="active-ulabel", transform=None,
                            encode_fn=encode,

@@ -205,7 +205,8 @@ class RegionDatasetOr:
                  sp_gt_size: Optional[np.ndarray] = None,
                  oracle_labels: bool = False,
                  async_weak_hflip: bool = False,
-                 oracle_keep_ignore: bool = False):
+                 oracle_keep_ignore: bool = False,
+                 plbl_dir: Optional[str] = None):
         # load_smaller_spx: also load the finer superpixel map by path
         # substitution seeds_{nseg} -> seeds_{small_nseg}
         # (region_cityscapes_or_tensor.py:76-80); async_views: add an
@@ -240,6 +241,11 @@ class RegionDatasetOr:
         # 41-44)
         self.oracle_labels = oracle_labels
         self.oracle_keep_ignore = oracle_keep_ignore
+        # or_plbl loader: the multi-hot sample additionally carries the
+        # previous round's saved pseudo-label map as 'labels' — the data
+        # path of the _sequence criterion (region_cityscapes_or_plbl.py:
+        # 26-60; plbl keyed per image from the plbl_gen round directory)
+        self.plbl_dir = plbl_dir
         self.load_gt = load_gt or ignore_gt_in_spmask or oracle_labels
         region = load_region_dict(region_dict)
         self.im_idx: List[List[str]] = []
@@ -313,9 +319,19 @@ class RegionDatasetOr:
         gt = None
         if self.load_gt:
             gt = self.encode_fn(open_label(lbl_p))
+        plbl = None
+        if self.plbl_dir is not None:
+            # saved pseudo-label PNG for this image, same {lbl_id}.png
+            # convention as RegionDatasetPlbl / plbl.generator (the
+            # reference keys by the image id — same bijection)
+            lbl_id = os.path.basename(lbl_p).split(".")[0]
+            plbl = np.asarray(open_label(
+                os.path.join(self.plbl_dir, f"{lbl_id}.png")), np.int32)
         raw = {"image": image, "gt": gt, "spx": spx, "spx_small": spx_small}
 
-        labels = ([gt] if gt is not None else []) + [spx] +             ([spx_small] if spx_small is not None else [])
+        labels = (([gt] if gt is not None else [])
+                  + ([plbl] if plbl is not None else []) + [spx]
+                  + ([spx_small] if spx_small is not None else []))
         if self.transform is not None:
             image, labels = self.transform(image, labels)
         else:
@@ -323,6 +339,10 @@ class RegionDatasetOr:
         idx = 0
         if gt is not None:
             gt_t = labels[idx].astype(np.int32)
+            idx += 1
+        plbl_t = None
+        if plbl is not None:
+            plbl_t = labels[idx].astype(np.int32)
             idx += 1
         spx = labels[idx].astype(np.int32)
         idx += 1
@@ -350,6 +370,11 @@ class RegionDatasetOr:
                                                 np.int32)
             else:
                 sample["labels"] = gt_t
+        if plbl_t is not None:
+            # or_plbl: the pseudo-label map is the 'labels' field; the
+            # multi-hot target/spx/spmask context rides alongside
+            # (region_cityscapes_or_plbl.py:48-59)
+            sample["labels"] = plbl_t
         if self.async_views:
             weak_tf = self._weak_tf
             wl = ([raw["gt"]] if raw["gt"] is not None else []) +                 [raw["spx"]] +                 ([raw["spx_small"]] if raw["spx_small"] is not None else [])

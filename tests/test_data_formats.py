@@ -110,6 +110,47 @@ def test_eval_all_and_plbl_roundtrip(disk_fixture, tmp_path):
     assert (item["labels"] == 7).all()
 
 
+def test_or_plbl_loader(disk_fixture, tmp_path):
+    """or_plbl: multi-hot sample + previous-round plbl map as 'labels'
+    (region_cityscapes_or_plbl.py:26-60)."""
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    plbl_dir = tmp_path / "plbl_gen" / "round_00"
+    plbl_dir.mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    plbls = []
+    for i in range(2):
+        p = rng.randint(0, C, (24, 24)).astype(np.uint8)
+        p[1, :3] = 255
+        plbls.append(p)
+        Image.fromarray(p).save(plbl_dir / f"lbl_{i}.png")
+    ds = RegionDatasetOr(cfg, str(datalist), str(root / "train.dict"),
+                         split="active-label", encode_fn=encode_identity,
+                         multi_hot_cls=mh, plbl_dir=str(plbl_dir))
+    ds.suppix[ds.im_idx[1][2]] = [0, 5]
+    s = ds[1]
+    # no transform: the plbl map comes through untouched
+    np.testing.assert_array_equal(s["labels"], plbls[1].astype(np.int32))
+    assert s["target"].shape == (S, C + 1)
+    np.testing.assert_array_equal(s["spmask"], np.isin(spx_map, [0, 5]))
+    # _sequence criterion contract: labels + target + spx + spmask present
+    assert {"images", "labels", "target", "spx", "spmask"} <= set(s)
+    # the pool split is unaffected (inherited __getpoolitem__ behavior)
+    ds.split = "active-ulabel"
+    assert "labels" not in ds[0]
+
+
+def test_or_plbl_dispatch_requires_checkpoint(disk_fixture, monkeypatch):
+    from mulactseg_tpu.cli.common import build_active_datasets
+
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    cfg.loader = "region_cityscapes_or_plbl"
+    cfg.trg_datalist = str(datalist)
+    cfg.region_dict = str(root / "train.dict")
+    cfg.resume_checkpoint = ""
+    with pytest.raises(ValueError, match="resume-checkpoint"):
+        build_active_datasets(cfg)
+
+
 def test_val_dataset(disk_fixture):
     cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
     vl = root / "val.txt"

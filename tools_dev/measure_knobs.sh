@@ -36,4 +36,16 @@ for extra in voc stage2; do
     echo "$extra FAILED rc=$? (see /tmp/knobs_$extra.log)" | tee -a "$out"
   fi
 done
+
+# end-to-end input pipeline with and without ship_uint8 (the uint8-crop
+# + on-device-normalize knob has never been measured on the TPU)
+for e2e in "e2e_f32:" "e2e_u8:--ship-u8"; do
+  name="${e2e%%:*}"; flag="${e2e#*:}"
+  echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a "$out"
+  if timeout 5400 python tools_dev/bench_e2e.py $flag > /tmp/knobs_"$name".log 2>&1; then
+    tail -2 /tmp/knobs_"$name".log | tee -a "$out"
+  else
+    echo "$name FAILED rc=$? (see /tmp/knobs_$name.log)" | tee -a "$out"
+  fi
+done
 echo "=== done $(date +%H:%M:%S) ===" | tee -a "$out"
