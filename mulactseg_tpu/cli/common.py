@@ -236,5 +236,6 @@ def setup_run(cfg):
     # dryrun); the JSONL sink is always on
     sink = MetricsSink(cfg.model_save_dir,
                        use_wandb=cfg.use_wandb and not cfg.dontlog,
-                       wandb_kwargs={"name": cfg.session_name or None})
+                       wandb_kwargs={"name": cfg.session_name or None,
+                                     "tags": list(cfg.wandb_tags) or None})
     return logger, sink

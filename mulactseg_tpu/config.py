@@ -78,6 +78,7 @@ class Config:
     min_lr: float = 1e-6
     finetune_itrs: int = 80_000
     val_period: int = 10_000
+    val_start: int = 0           # first iteration eligible for validation
     train_batch_size: int = 4
     val_batch_size: int = 4
     num_workers: int = 8
@@ -129,6 +130,7 @@ class Config:
     use_wandb: bool = False
     dontlog: bool = False        # reference --dontlog: wandb dryrun/no-op
     session_name: str = ""
+    wandb_tags: tuple = ()       # reference --wandb_tags nargs='+'
 
     # --- system ---------------------------------------------------------------
     steps_per_dispatch: int = 1   # >1: device-side lax.scan over K steps
@@ -200,22 +202,44 @@ def voc_defaults(cfg: Optional[Config] = None) -> Config:
 
 
 def build_argparser() -> argparse.ArgumentParser:
-    """CLI shim with the reference's flag names for the fields that matter."""
+    """CLI shim accepting BOTH flag spellings: this package's dashed names
+    and the reference's underscored argparse names (utils/common.py), so
+    the reference's script/open_source command lines run as-is. Booleans
+    take an optional value (`--separable_conv` == `--separable-conv true`),
+    and `-p` is the reference's model-save-dir shorthand
+    (utils/common.py:359)."""
     p = argparse.ArgumentParser("mulactseg_tpu")
     for f in dataclasses.fields(Config):
-        name = "--" + f.name.replace("_", "-")
+        names = ["--" + f.name.replace("_", "-")]
+        if "_" in f.name:
+            names.append("--" + f.name)
+        if f.name == "model_save_dir":
+            # reference: '-p', '--model_save_dir' (utils/common.py:359)
+            names = ["-p"] + names
+            kw = {"dest": "model_save_dir"}
+        else:
+            kw = {}
         if f.type == "bool" or isinstance(f.default, bool):
-            p.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
-                           default=f.default)
+            # nargs='?': a bare flag means True (reference store_true
+            # style); an explicit true/false value still parses
+            p.add_argument(*names, nargs="?", const=True,
+                           type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=f.default, **kw)
         elif f.name in ("crop_size",):
-            p.add_argument(name, type=int, nargs=2, default=f.default)
+            p.add_argument(*names, type=int, nargs=2, default=f.default, **kw)
         elif f.name in ("nseg_list",):
             # reference: --nseg_list nargs='+' (utils/common.py:334)
-            p.add_argument(name, type=int, nargs="+", default=f.default)
+            p.add_argument(*names, type=int, nargs="+", default=f.default,
+                           **kw)
+        elif f.name in ("wandb_tags",):
+            # reference: --wandb_tags nargs='+' (utils/common.py:345)
+            p.add_argument(*names, type=str, nargs="+", default=f.default,
+                           **kw)
         elif f.default is None:
-            p.add_argument(name, default=None)
+            p.add_argument(*names, default=None, **kw)
         else:
-            p.add_argument(name, type=type(f.default), default=f.default)
+            p.add_argument(*names, type=type(f.default), default=f.default,
+                           **kw)
     return p
 
 

@@ -250,7 +250,11 @@ class ALTrainer:
                 aux_host = {k: float(v) for k, v in aux.items()}
                 aux_host["images_per_sec"] = n_img / (time.time() - t0)
                 metrics_cb(it - 1, aux_host)
-            if self.val_dataset is not None and it % val_period == 0:
+            # reference gate: `iteration % val_period == val_period-1 and
+            # iteration > val_start` (trainer/active.py:54); `it` here is
+            # already 1-based past the step, so it % val_period == 0
+            if (self.val_dataset is not None and it % val_period == 0
+                    and it - 1 > cfg.val_start):
                 self.validate(it - 1)
         jax.block_until_ready(self.state.params)
         if profiling:
