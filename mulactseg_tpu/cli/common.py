@@ -109,7 +109,8 @@ def build_active_datasets(cfg):
                             # oracle_woignore.py:41-44)
                             ignore_gt_in_spmask="ignore" in cfg.loader
                             and "woignore" not in cfg.loader,
-                            load_smaller_spx="hier" in cfg.method or
+                            load_smaller_spx=cfg.load_smaller_spx or
+                            "hier" in cfg.method or
                             cfg.method.endswith("_mseg"),
                             async_views="async" in cfg.loader,
                             async_weak_hflip="asyncv2" in cfg.loader,
@@ -181,7 +182,7 @@ def _build_val_dataset(cfg, encode):
     label reader (dataset.py SYNTHIA)."""
     from mulactseg_tpu.data.datasets import encode_synthia, open_label_synthia
 
-    val_list = os.path.join(cfg.datalist_dir, "val.txt")
+    val_list = cfg.val_datalist or os.path.join(cfg.datalist_dir, "val.txt")
     if not os.path.exists(val_list):
         return None
     label_opener = None
@@ -237,5 +238,6 @@ def setup_run(cfg):
     sink = MetricsSink(cfg.model_save_dir,
                        use_wandb=cfg.use_wandb and not cfg.dontlog,
                        wandb_kwargs={"name": cfg.session_name or None,
-                                     "tags": list(cfg.wandb_tags) or None})
+                                     "tags": list(cfg.wandb_tags) or None,
+                                     "group": cfg.wandb_group or None})
     return logger, sink

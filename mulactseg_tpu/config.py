@@ -37,9 +37,18 @@ class Config:
     data_root: str = "./data"
     datalist_dir: str = ""                # derived when empty
     trg_datalist: str = ""                # derived
+    val_datalist: str = ""                # derived (datalist_dir/val.txt)
     region_dict: str = ""                 # derived
     nseg: int = 2048
     small_nseg: int = 32768
+    # force loading the finer superpixel map regardless of method name
+    # (reference --load_smaller_spx, region_cityscapes_or_tensor.py:76-80)
+    load_smaller_spx: bool = False
+    # legacy region_cityscapes_or on-disk format selector ('binary' /
+    # 'tensor' / 'dictionary', region_cityscapes_or.py:69-78); every
+    # shipped script uses the or_tensor (S, C) multi-hot layout this
+    # reader implements — accepted for CLI parity
+    loading: str = "binary"
     # mixed-scale superpixels, ascending (utils/common.py:334; when set the
     # reference forces nseg = nseg_list[-1], common.py:149-150)
     nseg_list: Tuple[int, ...] = ()
@@ -79,6 +88,13 @@ class Config:
     finetune_itrs: int = 80_000
     val_period: int = 10_000
     val_start: int = 0           # first iteration eligible for validation
+    log_period: int = 1000       # metric log cadence (utils/common.py:363)
+    # reference --total_itrs: shadowed in practice — trainer/base.py:41-44
+    # prefers finetune_itrs, which always exists; accepted for CLI parity
+    total_itrs: int = 0
+    freeze_bn: bool = False      # train with BN modules in eval mode
+    # lr = train_lr * selection_iter when set (trainer/active.py:30-33)
+    adaptive_train_lr: bool = False
     train_batch_size: int = 4
     val_batch_size: int = 4
     num_workers: int = 8
@@ -94,6 +110,21 @@ class Config:
     gumbel_scale: float = -1.0
     entcoeff: float = 1.0       # multient trainer entropy weight
     simw_temp: float = 1.0      # pwce similarity softmax temperature
+    # pwce warmup: simw_temp pinned to 1000 for the first 20k iterations
+    # (active_pwce_multi_predignore.py:193-198)
+    simw_temp_schedule: bool = False
+    # async-weight hier: segment reduce of the weak-view probabilities
+    # ('max' or 'mean', utils/loss.py:238-240,320)
+    weight_reduce: str = "max"
+    # hier trainers swap in the border-stripping Aug variant
+    # (active_joint_hier_multi.py:14-17)
+    nocropsp: bool = False
+    # wplbl: hard-gate pixels by weight > th instead of weighting
+    # (active_onlinewplbl_multi_predignore.py:137-140)
+    th_wplbl: Optional[float] = None
+    # wplbl: weight forced to 1 at prototype source pixels
+    # (active_onlinewplbl_multi_predignore.py:120-121)
+    weight_wo_proto: bool = False
     within_filtering: bool = False  # top1plbl candidate renormalization
     plbl_th: float = 0.0        # top1plbl confidence threshold
     lamparam: float = 0.1       # online-plbl ramp damping (utils/scheduler.py:15-28)
@@ -108,6 +139,12 @@ class Config:
     fair_counting: bool = True
     cls_weight_coeff: float = 8.0
     save_scores: bool = False
+    # skip the sanity eval at the first (resumed) round's start
+    # (train_AL.py:59-60)
+    skip_first_eval: bool = False
+    # 'region' is the only mode the reference implements — 'scan' raises
+    # NotImplementedError upstream (dataloader/__init__.py:135-136)
+    active_mode: str = "region"
 
     # --- sliding-window eval (utils/sliding_evaluator.py) --------------------
     sliding_eval: bool = False
@@ -125,12 +162,16 @@ class Config:
     init_checkpoint: str = ""
     resume_checkpoint: str = ""
     datalist_path: str = ""
+    # resuming a round also restores the optimizer state + step
+    # (trainer/base.py:288-295 load_checkpoint(load_optimizer=...))
+    load_optim: bool = False
 
     # --- logging (wandb flags, utils/common.py:345-350) ----------------------
     use_wandb: bool = False
     dontlog: bool = False        # reference --dontlog: wandb dryrun/no-op
     session_name: str = ""
     wandb_tags: tuple = ()       # reference --wandb_tags nargs='+'
+    wandb_group: str = ""        # reference --wandb_group
 
     # --- system ---------------------------------------------------------------
     steps_per_dispatch: int = 1   # >1: device-side lax.scan over K steps
@@ -168,9 +209,16 @@ class Config:
         if self.or_labeling and not self.stage2:
             assert "or" in self.loader or "tensor" in self.loader or \
                 self.loader.startswith("synthetic")
-        if "plbl" in self.loader:
+        if "plbl" in self.loader and "or_plbl" not in self.loader:
+            # or_plbl is a stage-1 loader (sequence training); the plain
+            # plbl loaders are the stage-2 retrain path
             assert self.stage2
         assert self.train_batch_size >= 1
+        if self.active_mode != "region":
+            # 'scan' raises NotImplementedError in the reference too
+            # (dataloader/__init__.py:135-136)
+            raise NotImplementedError(
+                f"active_mode {self.active_mode!r}: only 'region' exists")
 
     def derive_paths(self):
         """preprocess equivalents (utils/common.py:142-175)."""
@@ -217,6 +265,10 @@ def build_argparser() -> argparse.ArgumentParser:
             # reference: '-p', '--model_save_dir' (utils/common.py:359)
             names = ["-p"] + names
             kw = {"dest": "model_save_dir"}
+        elif f.name == "init_active_method":
+            # the reference spells it --initial_active_method
+            names.append("--initial_active_method")
+            kw = {"dest": "init_active_method"}
         else:
             kw = {}
         if f.type == "bool" or isinstance(f.default, bool):
@@ -235,6 +287,9 @@ def build_argparser() -> argparse.ArgumentParser:
             # reference: --wandb_tags nargs='+' (utils/common.py:345)
             p.add_argument(*names, type=str, nargs="+", default=f.default,
                            **kw)
+        elif f.name in ("th_wplbl",):
+            # Optional[float] with default None
+            p.add_argument(*names, type=float, default=None, **kw)
         elif f.default is None:
             p.add_argument(*names, default=None, **kw)
         else:

@@ -58,7 +58,8 @@ class ALTrainer:
         h, w = cfg.crop_size
         self.state = create_train_state(
             self.model, cfg, init_rng,
-            (cfg.train_batch_size, h, w, 3), total_itrs=cfg.finetune_itrs)
+            (cfg.train_batch_size, h, w, 3), total_itrs=cfg.finetune_itrs,
+            lr_mult=float(selection_iter) if cfg.adaptive_train_lr else 1.0)
         from mulactseg_tpu.engine.train import CRITERIA
 
         # eval-only methods (eval_save_* / analysis eval_*) have no
@@ -124,10 +125,14 @@ class ALTrainer:
     def save(self, path: Optional[str] = None):
         save_checkpoint(path or self.checkpoint_file, self.state)
 
-    def load(self, path: str, strip_classifier: Optional[bool] = None):
+    def load(self, path: str, strip_classifier: Optional[bool] = None,
+             load_optim: bool = True):
         """4 resume scenarios of train_AL.py:47-57 funnel here. For
         'imagenet_pretrained' style inits the classifier final weights are
-        stripped (trainer/active_joint_multi_predignore.py:146-168)."""
+        stripped (trainer/active_joint_multi_predignore.py:146-168).
+        load_optim=False restores only params/batch_stats — fresh
+        optimizer and step 0, the reference's
+        load_checkpoint(load_optimizer=False) (trainer/base.py:288-295)."""
         if strip_classifier is None:
             strip_classifier = "imagenet_pretrained" in path
         if strip_classifier:
@@ -140,15 +145,19 @@ class ALTrainer:
                                       payload["batch_stats"],
                                       strip_classifier_final=False)
                 self.state = self.state.replace(batch_stats=bs)
-        else:
+        elif load_optim:
             self.state = load_checkpoint(path, self.state)
+        else:
+            restored = load_checkpoint(path, self.state)
+            self.state = self.state.replace(params=restored.params,
+                                            batch_stats=restored.batch_stats)
         if self.dp:  # restored leaves land on host/device 0; re-replicate
             self.state = replicate(self.state, self.mesh)
 
     # -- training -----------------------------------------------------------------
     def train(self, active_set, total_itrs: Optional[int] = None,
               val_period: Optional[int] = None,
-              log_every: int = 100,
+              log_every: Optional[int] = None,
               metrics_cb: Optional[Callable[[int, Dict], None]] = None):
         cfg = self.cfg
         if self.train_step is None:
@@ -156,6 +165,8 @@ class ALTrainer:
                 f"method {cfg.method!r} is eval-only (no training criterion)")
         total_itrs = total_itrs or cfg.finetune_itrs
         val_period = val_period or cfg.val_period
+        # reference log cadence: args.log_period (trainer/active.py:95)
+        log_every = log_every if log_every is not None else cfg.log_period
         trainset = active_set.get_trainset()
         post = None
         if cfg.dtype == "bfloat16":
@@ -300,8 +311,20 @@ def run_al_rounds(cfg, active_set, *, val_dataset=None, eval_dataset=None,
         active_set.selection_iter = selection_iter
         trainer = ALTrainer(cfg, selection_iter, val_dataset=val_dataset,
                             eval_dataset=eval_dataset)
-        if init_checkpoint:
+        if (selection_iter == cfg.init_iteration and selection_iter != 1
+                and cfg.resume_checkpoint):
+            # resumed run: warm-start from the interrupted round's
+            # checkpoint, optionally with optimizer state
+            # (train_AL.py:53-55)
+            trainer.load(cfg.resume_checkpoint, load_optim=cfg.load_optim)
+        elif init_checkpoint:
             trainer.load(init_checkpoint)
+        if (not cfg.skip_first_eval and eval_dataset is not None
+                and selection_iter == cfg.init_iteration):
+            # sanity-check eval of the loaded weights before sampling,
+            # logged but not part of the per-round results
+            # (train_AL.py:59-60)
+            trainer.eval()
         sel_name = (cfg.init_active_method if selection_iter == 1
                     else cfg.active_method)
         selector = get_selector(sel_name, cfg)

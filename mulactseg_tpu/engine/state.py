@@ -34,14 +34,18 @@ class TrainState(struct.PyTreeNode):
                             batch_stats=new_batch_stats, opt_state=new_opt)
 
 
-def make_optimizer(cfg, total_itrs: Optional[int] = None):
+def make_optimizer(cfg, total_itrs: Optional[int] = None,
+                   lr_mult: float = 1.0):
+    # lr_mult: adaptive_train_lr scales the base lr by the round index
+    # (trainer/active.py:30-33)
     total = total_itrs or cfg.finetune_itrs
+    base_lr = cfg.train_lr * lr_mult
 
     def group_tx(scale):
         if cfg.scheduler == "poly":
-            sched = poly_lr(cfg.train_lr * scale, total, cfg.power, cfg.min_lr)
+            sched = poly_lr(base_lr * scale, total, cfg.power, cfg.min_lr)
         else:
-            sched = cfg.train_lr * scale
+            sched = base_lr * scale
         if cfg.optimizer == "adamw":
             return optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
                                weight_decay=cfg.weight_decay)
@@ -61,12 +65,13 @@ def make_optimizer(cfg, total_itrs: Optional[int] = None):
         label_fn)
 
 
-def create_train_state(model, cfg, rng, input_shape, total_itrs=None):
+def create_train_state(model, cfg, rng, input_shape, total_itrs=None,
+                       lr_mult: float = 1.0):
     x = jnp.zeros(input_shape, jnp.float32)
     variables = model.init({"params": rng}, x, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
-    tx = make_optimizer(cfg, total_itrs)
+    tx = make_optimizer(cfg, total_itrs, lr_mult=lr_mult)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

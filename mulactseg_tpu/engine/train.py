@@ -237,11 +237,19 @@ def _pwce_loss(cfg):
         probs = jax.nn.softmax(plbl_logits.astype(jnp.float32) /
                                cfg.group_ce_temp, axis=-1)
 
+        # --simw_temp_schedule: temp pinned to 1000 for the first 20k
+        # iterations (active_pwce_multi_predignore.py:193-198); the step
+        # index is recovered from extra['frac'] = step / finetune_itrs
+        simw_temp = cfg.simw_temp
+        if cfg.simw_temp_schedule:
+            step = extra["frac"] * float(cfg.finetune_itrs)
+            simw_temp = jnp.where(step < 20000.0, 1000.0, cfg.simw_temp)
+
         def one(f, p, t, s, m):
             return prototype_weight_targets(
                 f.reshape(-1, f.shape[-1]), p.reshape(-1, C), t,
                 s.reshape(-1), m.reshape(-1), nseg=cfg.nseg,
-                simw_temp=cfg.simw_temp)
+                simw_temp=simw_temp)
 
         w = jax.vmap(one)(feat, probs, batch["target"], batch["spx"],
                           batch["spmask"])
@@ -278,8 +286,14 @@ def _hier_joint_loss(cfg, async_views=False, weight_reduce=None):
     present; spx_weak/spx_small_weak/spmask_weak from the loader)."""
     from mulactseg_tpu.losses.hier import (
         async_hier_group_multi_label_ce,
+        aug_hier_group_multi_label_ce,
         hier_group_multi_label_ce,
     )
+
+    # --nocropsp swaps in the border-stripping Aug variant
+    # (active_joint_hier_multi.py:14-17)
+    hier_fn = (aug_hier_group_multi_label_ce if cfg.nocropsp
+               else hier_group_multi_label_ce)
 
     def fn(logits, batch, extra=None):
         pos = multi_choice_ce(logits, batch["target"], batch["spx"],
@@ -293,7 +307,7 @@ def _hier_joint_loss(cfg, async_views=False, weight_reduce=None):
                 small_nseg=cfg.small_nseg, temp=cfg.group_ce_temp,
                 weight_reduce=weight_reduce)
         else:
-            hier = hier_group_multi_label_ce(
+            hier = hier_fn(
                 logits, batch["target"], batch["spx"], batch["spx_small"],
                 batch["spmask"], nseg=cfg.nseg, small_nseg=cfg.small_nseg,
                 temp=cfg.group_ce_temp, only_single=cfg.group_only_single,
@@ -307,12 +321,22 @@ def _hier_joint_loss(cfg, async_views=False, weight_reduce=None):
     return fn
 
 
-def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False):
+def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False,
+                      weight_source="sim"):
     """active_onlineplbl_multi_predignore family
     (active_onlineplbl_multi_predignore.py:143-195): coeff * MC loss +
     ramp(step/total) * LocalProtoCE on online pseudo labels from an
     eval-mode feat_forward. Criteria of this family receive an `extra`
-    dict with 'feat', 'plbl_logits' and 'frac' (step/total_itrs)."""
+    dict with 'feat', 'plbl_logits' and 'frac' (step/total_itrs).
+
+    weight_source: 'sim' = cosine similarity to the assigned prototype
+    (active_onlinesimwplbl_multi_predignore.py:120); 'prob' = the
+    eval-mode softmax probability at the pseudo-label class
+    (active_onlinewplbl_multi_predignore.py:119). --weight_wo_proto
+    forces 1.0 at prototype-source pixels (prob variants only, :120-121);
+    --th_wplbl hard-gates pixels by weight > th instead of weighting
+    (:137-140 — the reference means over the surviving pixels, folded
+    here into the plbl ignore mask)."""
     from mulactseg_tpu.losses.online import local_proto_ce, local_proto_plbl
 
     def fn(logits, batch, extra):
@@ -328,12 +352,29 @@ def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False):
                 f.reshape(-1, f.shape[-1]), p.reshape(-1, C), t,
                 s.reshape(-1), m.reshape(-1), nseg=cfg.nseg)
 
-        plbl, sim = jax.vmap(one)(feat, probs, batch["target"], batch["spx"],
-                                  batch["spmask"])
+        plbl, sim, is_src = jax.vmap(one)(
+            feat, probs, batch["target"], batch["spx"], batch["spmask"])
         plbl = jax.lax.stop_gradient(plbl.reshape(logits.shape[:-1]))
         sim = jax.lax.stop_gradient(sim.reshape(logits.shape[:-1]))
+        w = None
+        if weighted:
+            if weight_source == "prob":
+                flat = probs.reshape(plbl.shape + (C,))
+                w = jnp.take_along_axis(
+                    flat, jnp.clip(plbl, 0, C - 1)[..., None], -1)[..., 0]
+                w = jnp.where(plbl != cfg.ignore_idx, w, 0.0)
+                if cfg.weight_wo_proto:
+                    w = jnp.where(is_src.reshape(plbl.shape), 1.0, w)
+            else:
+                w = sim
+            w = jax.lax.stop_gradient(w)
+        if weighted and cfg.th_wplbl is not None:
+            # hard gate: pixels at weight <= th leave both the sum and the
+            # mean's denominator (reference masked_select over loss != 0)
+            plbl = jnp.where(w > cfg.th_wplbl, plbl, cfg.ignore_idx)
+            w = None
         proto = local_proto_ce(logits, plbl, temp=cfg.group_ce_temp,
-                               weights=sim if weighted else None)
+                               weights=w)
         frac = extra["frac"]
         den = 1.0 + jnp.exp(-frac / cfg.lamparam)
         lam = (2.0 / den - 1.0) * cfg.lamscale  # sigmoid_ramp_up
@@ -456,11 +497,11 @@ CRITERIA: Dict[str, Callable] = {
     "active_slide": _ce_loss,
     "active_onlineplbl_multi_predignore": _online_plbl_loss,
     "active_onlinewplbl_multi_predignore": lambda cfg: _online_plbl_loss(
-        cfg, weighted=True),
+        cfg, weighted=True, weight_source="prob"),
     "active_onlinesimwplbl_multi_predignore": lambda cfg: _online_plbl_loss(
         cfg, weighted=True),
     "active_onlinewplblonly_multi_predignore": lambda cfg: _online_plbl_loss(
-        cfg, weighted=True, only_plbl=True),
+        cfg, weighted=True, only_plbl=True, weight_source="prob"),
     "active_onlineplbl_multi_predignore_domc": lambda cfg: _online_plbl_loss(
         cfg, do_mc=True),
     "active_onlinesimwplbl_multi_predignore_domc": lambda cfg:
@@ -485,8 +526,10 @@ CRITERIA: Dict[str, Callable] = {
     "active_joint_hier_multi": lambda cfg: _hier_joint_loss(cfg),
     "active_joint_hier_multi_async": lambda cfg: _hier_joint_loss(
         cfg, async_views=True),
+    # weight_reduce comes from --weight_reduce (reference default 'max',
+    # utils/loss.py:238)
     "active_joint_hier_multi_async_weight": lambda cfg: _hier_joint_loss(
-        cfg, async_views=True, weight_reduce="max"),
+        cfg, async_views=True, weight_reduce=cfg.weight_reduce),
     "active_joint_multi_predignore_mseg": _mseg_loss,
     "active_joint_multi_ablation": _ablation_loss,
     "active_joint_multi_predignore_sequence": _sequence_loss,
@@ -536,11 +579,17 @@ def _build_loss_fn(model, cfg, criterion):
                     and batch["images_weak"].dtype == jnp.uint8):
                 batch["images_weak"] = _device_normalize(
                     batch["images_weak"])
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["images"], train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng},
-            **({"nchw_logits": True} if wants_nchw else {}))
+        from mulactseg_tpu.models.layers import bn_frozen
+
+        with bn_frozen(cfg.freeze_bn):
+            # freeze_bn: BN runs on running stats (and leaves them
+            # unchanged) while dropout stays live — the reference's
+            # freeze_bn() over a net in train mode (active_voc.py:74-76)
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                batch["images"], train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng},
+                **({"nchw_logits": True} if wants_nchw else {}))
         if needs_weak:
             # weak-view eval-mode forward for the async hier criteria
             batch = dict(batch)

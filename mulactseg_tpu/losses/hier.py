@@ -166,7 +166,7 @@ def border_spx_ids_mask(spx_2d, nseg):
 
 def aug_hier_group_multi_label_ce(logits, targets, spx, spx_small, spmask, *,
                                   nseg, small_nseg, temp=1.0,
-                                  only_single=False):
+                                  only_single=False, gumbel_scale=-1.0):
     """AugHierGroupMultiLabelCE (utils/loss.py:439-533): hier loss with
     border-superpixel labels removed per image."""
     B = logits.shape[0]
@@ -180,4 +180,5 @@ def aug_hier_group_multi_label_ce(logits, targets, spx, spx_small, spmask, *,
     trg_full = jnp.concatenate([trg, jnp.zeros(trg.shape[:-1] + (1,))], -1)
     return hier_group_multi_label_ce(
         logits, trg_full, spx, spx_small, spmask, nseg=nseg,
-        small_nseg=small_nseg, temp=temp, only_single=only_single)
+        small_nseg=small_nseg, temp=temp, only_single=only_single,
+        gumbel_scale=gumbel_scale)

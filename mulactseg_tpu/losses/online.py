@@ -8,9 +8,12 @@ prototype, and a CE (temp, ignore 255) against these online pseudo
 labels is added with a ramped weight
 (active_onlineplbl_multi_predignore.py:179-182).
 
-The weighted variants (active_onlinewplbl_* / active_onlinesimwplbl_*)
-scale each pixel's CE by the detached similarity to its assigned
-prototype.
+The weighted variants scale each pixel's CE by a detached weight:
+similarity to the assigned prototype for active_onlinesimwplbl_*
+(:120 of the simw trainer) or the eval-forward's softmax probability at
+the pseudo-label class for active_onlinewplbl(only)_*
+(active_onlinewplbl_multi_predignore.py:119) — source chosen per method
+in engine/train._online_plbl_loss.
 
 Prototypes are compacted into NP static slots (jnp.nonzero with a static
 size) and similarities run as chunked (pixels x prototypes) matmuls on
@@ -39,7 +42,8 @@ def local_proto_plbl(feats, probs, targets, spx, spmask, *, nseg,
     feats (P, Ch) normalized; probs (P, C); targets (S, C); spx (P,);
     spmask (P,). Returns (plbl (P,) int32 with ignore_value outside
     multi-hot selected spxs, sim (P,) cosine similarity to the assigned
-    prototype, 0 where unassigned).
+    prototype (0 where unassigned), is_proto_src (P,) bool marking the
+    prototype source pixels).
     """
     P, Ch = feats.shape
     C = probs.shape[-1]
@@ -79,7 +83,13 @@ def local_proto_plbl(feats, probs, targets, spx, spmask, *, nseg,
     best = best.reshape(-1)[:P]
     has = valid & (best > NEG / 2)
     plbl = jnp.where(has, cls, ignore_value).astype(jnp.int32)
-    return plbl, jnp.where(has, best, 0.0)
+    # prototype-source pixels: the per-(spx, class) argmax pixels that
+    # became prototypes (weight_wo_proto forces their weight to 1.0,
+    # active_onlinewplbl_multi_predignore.py:120-121)
+    src_safe = jnp.where(proto_ok, src, P)
+    is_proto_src = jnp.zeros((P,), bool).at[src_safe].set(
+        True, mode="drop")
+    return plbl, jnp.where(has, best, 0.0), is_proto_src
 
 
 @functools.partial(jax.jit, static_argnames=("nseg", "max_protos", "chunk"))

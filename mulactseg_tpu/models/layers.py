@@ -7,6 +7,7 @@ which would break torch-weight import parity.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
@@ -95,11 +96,33 @@ class FastBatchNorm(nn.Module):
         return x.astype(dt) * a.astype(dt) + b.astype(dt)
 
 
+_BN_FROZEN = False  # trace-time flag set by bn_frozen() — see below
+
+
+@contextlib.contextmanager
+def bn_frozen(flag: bool):
+    """Freeze BN during a train-mode forward (reference freeze_bn():
+    trainer/active_voc.py:74-76 puts only the BN modules in eval mode;
+    dropout stays active). The flag is read when batch_norm() runs, i.e.
+    while the surrounding jit traces the model.apply call this context
+    wraps — each criterion's loss_fn re-enters the context on every
+    (re)trace, so concurrent programs with different settings can't
+    cross-contaminate."""
+    global _BN_FROZEN
+    prev = _BN_FROZEN
+    _BN_FROZEN = bool(flag)
+    try:
+        yield
+    finally:
+        _BN_FROZEN = prev
+
+
 def batch_norm(train: bool, name: Optional[str] = None,
                momentum: float = 0.9, dtype=None) -> FastBatchNorm:
     """torch BatchNorm2d(momentum=0.1) == flax momentum 0.9
     (running = 0.9*running + 0.1*batch; models/__init__.py:7 sets 0.1)."""
-    return FastBatchNorm(use_running_average=not train, momentum=momentum,
+    return FastBatchNorm(use_running_average=(not train) or _BN_FROZEN,
+                         momentum=momentum,
                          epsilon=1e-5, dtype=dtype, name=name)
 
 

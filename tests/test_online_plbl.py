@@ -63,7 +63,7 @@ def test_local_proto_plbl_parity():
         targets[s, rng.choice(C, rng.randint(1, 4), replace=False)] = 1
     spmask = rng.rand(P) < 0.7
     want = ref_local_plbl(feats, probs, targets, spx, spmask, S)
-    got, sim = local_proto_plbl(jnp.asarray(feats), jnp.asarray(probs),
+    got, sim, is_src = local_proto_plbl(jnp.asarray(feats), jnp.asarray(probs),
                                 jnp.asarray(targets), jnp.asarray(spx),
                                 jnp.asarray(spmask), nseg=S, max_protos=64,
                                 chunk=64)
