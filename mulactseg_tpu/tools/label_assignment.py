@@ -126,3 +126,88 @@ def generate_multi_hot_dataset(samples, nseg: int, num_classes: int,
     np.save(os.path.join(out_dir, "sp_size.npy"), np.stack(sizes))
     np.save(os.path.join(out_dir, "sp_gt_size.npy"), np.stack(cls_sizes))
     return np.stack(mhs), np.stack(sizes)
+
+
+def main(argv=None):
+    """Runnable twin of the reference's offline label tools
+    (tools/label_assignment_tensor(_voc).py and
+    label_assignment_dominant(_voc).py — same flag names; --mode picks
+    the tool; dataset/VOC behavior via --label-encoding identity).
+
+        python -m mulactseg_tpu.tools.label_assignment \
+            --datalist train.txt --data_root DATA --nseg 2048 \
+            --save_data_dir .../gtFine_multi_tensor_trim_5x5 \
+            --trim_multihot_boundary --trim_kernel_size 5
+
+    --mode dominant writes one {data_id}.png per image into
+    --save_data_dir (label_assignment_dominant.py:34-41 naming:
+    the first three '_'-separated tokens of the image filename);
+    --generate_ignore lets the 255 class win a superpixel
+    (gtFine_dominant_ignore twin directory). --ignore_size/--mark_topk
+    are accepted like the reference but are consumed by no code path
+    there either (parsed at label_assignment_tensor.py:18-19, never
+    read); --num_worker is accepted for flag parity (this generator is
+    vectorized per image, not worker-parallel).
+    """
+    import argparse
+
+    from mulactseg_tpu.data.datasets import (
+        encode_cityscapes,
+        encode_identity,
+        open_label,
+        open_spx,
+    )
+
+    p = argparse.ArgumentParser("label_assignment")
+    p.add_argument("--mode", choices=["tensor", "dominant"],
+                   default="tensor")
+    p.add_argument("--datalist", required=True,
+                   help="img\\tlbl\\tspx datalist")
+    p.add_argument("--data_root", "--trg_data_dir", dest="data_root",
+                   default=".")
+    p.add_argument("--save_data_dir", required=True)
+    p.add_argument("--nseg", type=int, default=2048)
+    p.add_argument("--num_classes", type=int, default=19)
+    p.add_argument("--trim_kernel_size", type=int, default=3)
+    p.add_argument("--trim_multihot_boundary", action="store_true")
+    p.add_argument("--generate_ignore", action="store_true")
+    p.add_argument("--label-encoding", choices=["cityscapes", "identity"],
+                   default="cityscapes")
+    p.add_argument("--num_worker", type=int, default=8)   # parity, unused
+    p.add_argument("--ignore_size", type=int, default=0)  # parity, dead
+    p.add_argument("--mark_topk", type=int, default=-1)   # parity, dead
+    args = p.parse_args(argv)
+    encode = (encode_cityscapes if args.label_encoding == "cityscapes"
+              else encode_identity)
+
+    rows = [l.split("\t") for l in open(args.datalist).read().splitlines()
+            if l.strip()]
+    os.makedirs(args.save_data_dir, exist_ok=True)
+    if args.mode == "tensor":
+        samples = ((encode(open_label(os.path.join(args.data_root, lbl))),
+                    open_spx(os.path.join(args.data_root, spx)))
+                   for _, lbl, spx in rows)
+        generate_multi_hot_dataset(
+            samples, args.nseg, args.num_classes, args.save_data_dir,
+            trim=args.trim_multihot_boundary,
+            trim_kernel=args.trim_kernel_size)
+        print(f"wrote multi_hot_cls/sp_size/sp_gt_size .npy for "
+              f"{len(rows)} images to {args.save_data_dir}")
+        return
+    for img, lbl, spx in rows:
+        gt = encode(open_label(os.path.join(args.data_root, lbl)))
+        sp = open_spx(os.path.join(args.data_root, spx))
+        dom = dominant_label_for_image(gt, sp, args.nseg, args.num_classes,
+                                       count_ignore=args.generate_ignore)
+        if not args.generate_ignore:
+            # non-ignore mode restores the original 255 pixels after the
+            # vote (region_cityscapes_dominant_all.py:51-54)
+            dom = np.where(gt == 255, 255, dom)
+        data_id = "_".join(os.path.basename(img).split("_")[:3])
+        Image.fromarray(dom.astype(np.uint8)).save(
+            os.path.join(args.save_data_dir, f"{data_id}.png"))
+    print(f"wrote {len(rows)} dominant PNGs to {args.save_data_dir}")
+
+
+if __name__ == "__main__":
+    main()

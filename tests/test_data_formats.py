@@ -139,6 +139,42 @@ def test_or_plbl_loader(disk_fixture, tmp_path):
     assert "labels" not in ds[0]
 
 
+def test_label_assignment_cli(disk_fixture, tmp_path):
+    """The runnable twin of tools/label_assignment_tensor.py /
+    label_assignment_dominant.py over the on-disk fixture."""
+    from mulactseg_tpu.tools.label_assignment import main as tool_main
+
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    out = tmp_path / "mh_cli"
+    tool_main(["--datalist", str(datalist), "--data_root", str(root),
+               "--save_data_dir", str(out), "--nseg", str(S),
+               "--num_classes", str(C), "--label-encoding", "identity",
+               "--trim_multihot_boundary", "--trim_kernel_size", "3"])
+    got = np.load(out / "multi_hot_cls.npy")
+    assert got.shape == (2, S, C + 1)
+    # same generator the fixture used (trim=False there) — recompute
+    from mulactseg_tpu.tools.label_assignment import multi_hot_for_image
+    want0, _ = multi_hot_for_image(gts[0], spx_map, S, C, trim=True,
+                                   trim_kernel=3)
+    np.testing.assert_array_equal(got[0], want0)
+
+    dom_dir = tmp_path / "dom_cli"
+    tool_main(["--mode", "dominant", "--datalist", str(datalist),
+               "--data_root", str(root), "--save_data_dir", str(dom_dir),
+               "--nseg", str(S), "--num_classes", str(C),
+               "--label-encoding", "identity"])
+    pngs = sorted(os.listdir(dom_dir))
+    assert len(pngs) == 2
+    dom = np.asarray(Image.open(dom_dir / pngs[0]))
+    # non-ignore mode: original 255 pixels restored
+    assert (dom[gts[0] == 255] == 255).all()
+    # each superpixel (outside restored 255s) carries one class
+    for s in range(S):
+        m = (spx_map == s) & (gts[0] != 255)
+        if m.any():
+            assert len(np.unique(dom[m])) == 1
+
+
 def test_or_plbl_dispatch_requires_checkpoint(disk_fixture, monkeypatch):
     from mulactseg_tpu.cli.common import build_active_datasets
 
