@@ -175,6 +175,25 @@ def test_label_assignment_cli(disk_fixture, tmp_path):
             assert len(np.unique(dom[m])) == 1
 
 
+def test_gen_datalists_cli(disk_fixture, tmp_path):
+    from mulactseg_tpu.data import load_region_dict
+    from mulactseg_tpu.tools.gen_datalists import main as gen_main
+
+    cfg, root, datalist, gts, spx_map, mh, S, C = disk_fixture
+    out = tmp_path / "init_data"
+    gen_main(["--data_root", str(root), "--nseg", str(S),
+              "--img-glob", "img_*.png",
+              "--lbl-sub", "img_=lbl_",
+              "--spx-sub", "img_0.png=spx_0.pkl",
+              "--spx-sub", "img_1.png=spx_1.png",
+              "--out-dir", str(out)])
+    rows = (out / f"train_seed{S}.txt").read_text().splitlines()
+    assert rows[0] == "img_0.png\tlbl_0.png\tspx_0.pkl"
+    region = load_region_dict(str(out / "train.dict"))
+    # the grid map contains every id -> no missing ids
+    assert list(region["spx_0.pkl"]) == list(range(S))
+
+
 def test_or_plbl_dispatch_requires_checkpoint(disk_fixture, monkeypatch):
     from mulactseg_tpu.cli.common import build_active_datasets
 
