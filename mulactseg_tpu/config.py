@@ -158,6 +158,12 @@ class Config:
     save_vis: bool = False
 
     # --- checkpoints / resume ------------------------------------------------
+    # reference stage-1 auto-naming: expand -p into the descriptive
+    # '{p}_{active_method}_sp{nseg}_nlbl..k_iter..k_method-..-_...' dir and
+    # bump a numeric suffix if it already exists (utils/common.py:118-140,
+    # gen_save_name + avoid_duplication). Opt-in here so explicit -p dirs
+    # stay stable; the reference applies it to every non-stage2 run.
+    auto_name: bool = False
     model_save_dir: str = "./checkpoints/run0"
     init_checkpoint: str = ""
     resume_checkpoint: str = ""
@@ -234,6 +240,24 @@ class Config:
                                  + "_dominant.txt")
         if not self.region_dict:
             self.region_dict = os.path.join(self.datalist_dir, "train.dict")
+        if self.auto_name and not self.stage2:
+            # gen_save_name (utils/common.py:118-130)
+            self.model_save_dir = (
+                f"{self.model_save_dir}_{self.active_method}_sp{self.nseg}"
+                f"_nlbl{self.active_selection_size / 1000}k"
+                f"_iter{self.finetune_itrs / 1000}k_method-{self.method}-"
+                f"_coeff{self.coeff}_ign{self.known_ignore}"
+                f"_lr{self.train_lr}_")
+            # avoid_duplication (utils/common.py:132-140): bump a numeric
+            # suffix until the directory is fresh
+            while (os.path.exists(self.model_save_dir)
+                   and "naive" not in self.model_save_dir):
+                tail = self.model_save_dir[-1]
+                if tail.isnumeric():
+                    self.model_save_dir = (self.model_save_dir[:-1]
+                                           + str(int(tail) + 1))
+                else:
+                    self.model_save_dir += "_1"
         return self
 
 

@@ -94,6 +94,33 @@ def test_load_optim_gate(tmp_path):
     assert int(fresh.state.step) == 7
 
 
+def test_auto_name_and_duplication_bump(tmp_path):
+    """gen_save_name + avoid_duplication (utils/common.py:118-140)."""
+    import os
+
+    base = str(tmp_path / "run")
+    cfg = Config(auto_name=True, model_save_dir=base, nseg=2048,
+                 active_selection_size=100_000, finetune_itrs=80_000,
+                 active_method="my_bvsb_predclsbal_pwr_banignore",
+                 method="active_joint_multi_predignore_lossdecomp",
+                 coeff=16.0, train_lr=2e-5).derive_paths()
+    assert cfg.model_save_dir == (
+        base + "_my_bvsb_predclsbal_pwr_banignore_sp2048_nlbl100.0k"
+        "_iter80.0k_method-active_joint_multi_predignore_lossdecomp-"
+        "_coeff16.0_ignFalse_lr2e-05_")
+    os.makedirs(cfg.model_save_dir)
+    cfg2 = Config(auto_name=True, model_save_dir=base, nseg=2048,
+                  active_selection_size=100_000, finetune_itrs=80_000,
+                  active_method="my_bvsb_predclsbal_pwr_banignore",
+                  method="active_joint_multi_predignore_lossdecomp",
+                  coeff=16.0, train_lr=2e-5).derive_paths()
+    assert cfg2.model_save_dir == cfg.model_save_dir + "_1"
+    # stage2 never renames (utils/common.py:155-157)
+    cfg3 = Config(auto_name=True, stage2=True,
+                  model_save_dir=base).derive_paths()
+    assert cfg3.model_save_dir == base
+
+
 def _hier_batch(rng, B=1, H=8, W=8, C=5, S=9, S_small=16):
     # hier methods: C-channel logits, (S, C+1) multi-hot (last sliced off)
     logits = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
