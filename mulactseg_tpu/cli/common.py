@@ -184,6 +184,11 @@ def _build_val_dataset(cfg, encode):
 
     val_list = cfg.val_datalist or os.path.join(cfg.datalist_dir, "val.txt")
     if not os.path.exists(val_list):
+        if cfg.val_datalist:
+            # an explicitly requested list must not silently disable
+            # validation for a whole run
+            raise FileNotFoundError(
+                f"--val_datalist {cfg.val_datalist!r} does not exist")
         return None
     label_opener = None
     if cfg.dataset == "synthia":

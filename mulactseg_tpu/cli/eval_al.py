@@ -33,8 +33,11 @@ def main(argv=None):
     active_set, val = build_active_datasets(cfg)
     trainer = ALTrainer(cfg, cfg.init_iteration, val_dataset=val,
                         eval_dataset=val)
-    if cfg.resume_checkpoint:
-        trainer.load(cfg.resume_checkpoint)
+    # the reference evaluates --init_checkpoint (eval_AL.py:43); the
+    # resume checkpoint (same file in the scripts) anchors the plbl dir
+    ckpt = cfg.init_checkpoint or cfg.resume_checkpoint
+    if ckpt:
+        trainer.load(ckpt)
 
     if cfg.method == "active_joint_multi_analysis":
         # top-1 selection accuracy over the labeled set

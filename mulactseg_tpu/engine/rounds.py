@@ -317,8 +317,18 @@ def run_al_rounds(cfg, active_set, *, val_dataset=None, eval_dataset=None,
             # checkpoint, optionally with optimizer state
             # (train_AL.py:53-55)
             trainer.load(cfg.resume_checkpoint, load_optim=cfg.load_optim)
-        elif init_checkpoint:
-            trainer.load(init_checkpoint)
+        else:
+            if cfg.resume_checkpoint and selection_iter == 1:
+                # round 1 never warm-starts — same silent rule as
+                # train_AL.py:53 (`selection_iter != 1`); say so instead
+                # of silently ignoring the flag (or_plbl runs still use
+                # it to locate the plbl_gen directory)
+                log.warning(
+                    "--resume-checkpoint is not loaded at round 1 "
+                    "(reference semantics); training from %s",
+                    init_checkpoint or "scratch")
+            if init_checkpoint:
+                trainer.load(init_checkpoint)
         if (not cfg.skip_first_eval and eval_dataset is not None
                 and selection_iter == cfg.init_iteration):
             # sanity-check eval of the loaded weights before sampling,

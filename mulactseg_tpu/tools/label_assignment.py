@@ -203,7 +203,12 @@ def main(argv=None):
             # non-ignore mode restores the original 255 pixels after the
             # vote (region_cityscapes_dominant_all.py:51-54)
             dom = np.where(gt == 255, 255, dom)
-        data_id = "_".join(os.path.basename(img).split("_")[:3])
+        # first three '_' tokens of the extension-less image name —
+        # cityscapes '{city}_{seq}_{frame}', VOC bare ids (the reference
+        # VOC twin strips the extension with data_id[:-4],
+        # label_assignment_dominant_voc.py:34-38)
+        stem = os.path.splitext(os.path.basename(img))[0]
+        data_id = "_".join(stem.split("_")[:3])
         Image.fromarray(dom.astype(np.uint8)).save(
             os.path.join(args.save_data_dir, f"{data_id}.png"))
     print(f"wrote {len(rows)} dominant PNGs to {args.save_data_dir}")
