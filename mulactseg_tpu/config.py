@@ -81,7 +81,10 @@ class Config:
     optimizer: str = "adamw"
     train_lr: float = 2e-5
     cls_lr_scale: float = 10.0
-    weight_decay: float = 5e-4
+    # the reference DEFAULT is 1e-5 — its argparse help string claims
+    # 5e-4 but the default= is 1e-5 (utils/common.py:319), and the paper
+    # recipes never override it
+    weight_decay: float = 1e-5
     scheduler: str = "poly"
     power: float = 0.9
     min_lr: float = 1e-6
