@@ -40,7 +40,9 @@ class Config:
     val_datalist: str = ""                # derived (datalist_dir/val.txt)
     region_dict: str = ""                 # derived
     nseg: int = 2048
-    small_nseg: int = 32768
+    # reference default 2048 == nseg (common.py:352) — the hier smaller-
+    # spx substitution is a no-op unless --small_nseg is passed
+    small_nseg: int = 2048
     # force loading the finer superpixel map regardless of method name
     # (reference --load_smaller_spx, region_cityscapes_or_tensor.py:76-80)
     load_smaller_spx: bool = False
@@ -112,7 +114,7 @@ class Config:
     group_only_single: bool = False
     gumbel_scale: float = -1.0
     entcoeff: float = 1.0       # multient trainer entropy weight
-    simw_temp: float = 1.0      # pwce similarity softmax temperature
+    simw_temp: float = 0.1      # pwce similarity temp (common.py:236)
     # pwce warmup: simw_temp pinned to 1000 for the first 20k iterations
     # (active_pwce_multi_predignore.py:193-198)
     simw_temp_schedule: bool = False
@@ -132,7 +134,9 @@ class Config:
     plbl_th: float = 0.0        # top1plbl confidence threshold
     lamparam: float = 0.1       # online-plbl ramp damping (utils/scheduler.py:15-28)
     lamscale: float = 1.0
-    dorampup: bool = True
+    # reference --dorampup is store_true default False (common.py:249);
+    # no shipped script enables it
+    dorampup: bool = False
 
     # --- active learning protocol -------------------------------------------
     max_iterations: int = 5
