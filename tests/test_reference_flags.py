@@ -71,6 +71,37 @@ def test_adaptive_train_lr_scales_updates():
     assert np.isclose(float(d3) / float(d1), 3.0, rtol=1e-5)
 
 
+def test_freeze_bn_through_train_step(tmp_path):
+    """cfg.freeze_bn wired through _build_loss_fn: a real optimizer step
+    must leave every BN running stat untouched while params move."""
+    from mulactseg_tpu.data.synthetic import SyntheticRegionDataset
+    from mulactseg_tpu.engine.rounds import ALTrainer
+
+    cfg = Config(num_classes=5, nseg=16, crop_size=(24, 24),
+                 train_batch_size=2, model="deeplabv3plus_mobilenet",
+                 dtype="float32", loader="synthetic", n_devices=1,
+                 method="active_joint_multi_predignore_lossdecomp",
+                 freeze_bn=True, model_save_dir=str(tmp_path))
+    tr = ALTrainer(cfg, 1)
+    ds = SyntheticRegionDataset(n_images=2, H=24, W=24, num_classes=5,
+                                nseg=16, split="active-label", seed=0)
+    from mulactseg_tpu.data.loader import collate
+
+    batch = collate([ds[0], ds[1]])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if k != "fnames"}
+    bs_before = jax.device_get(tr.state.batch_stats)
+    p_before = jax.device_get(
+        jax.tree_util.tree_leaves(tr.state.params)[0])
+    tr.state, _ = tr.train_step(tr.state, batch, jax.random.PRNGKey(0))
+    bs_after = jax.device_get(tr.state.batch_stats)
+    for a, b in zip(jax.tree_util.tree_leaves(bs_before),
+                    jax.tree_util.tree_leaves(bs_after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p_after = jax.device_get(jax.tree_util.tree_leaves(tr.state.params)[0])
+    assert not np.allclose(np.asarray(p_before), np.asarray(p_after))
+
+
 def test_load_optim_gate(tmp_path):
     from mulactseg_tpu.engine.rounds import ALTrainer
 
