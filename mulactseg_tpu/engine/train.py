@@ -325,8 +325,10 @@ def _online_plbl_loss(cfg, weighted=False, only_plbl=False, do_mc=False,
                       weight_source="sim"):
     """active_onlineplbl_multi_predignore family
     (active_onlineplbl_multi_predignore.py:143-195): coeff * MC loss +
-    ramp(step/total) * LocalProtoCE on online pseudo labels from an
-    eval-mode feat_forward. Criteria of this family receive an `extra`
+    lam * LocalProtoCE on online pseudo labels from an eval-mode
+    feat_forward, where lam is the sigmoid ramp of step/total only under
+    --dorampup (utils/scheduler.py:15-23 returns 1.0 otherwise — the
+    reference default). Criteria of this family receive an `extra`
     dict with 'feat', 'plbl_logits' and 'frac' (step/total_itrs).
 
     weight_source: 'sim' = cosine similarity to the assigned prototype
