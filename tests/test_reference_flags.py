@@ -297,3 +297,12 @@ def test_wplbl_prob_weights_match_bruteforce():
     got = get_criterion(cfg)(logits, batch, extra)[0]
     # only_plbl: criterion = lam * proto term; dorampup False, frac .5 -> 1
     np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+    # th_wplbl gate: unweighted mean over survivors (w > th), the
+    # reference's masked_select-over-nonzero mean (:137-143)
+    th = float(np.median(w[valid]))
+    keep = valid & (w > th)
+    want_gate = ce[keep].sum() / keep.sum()
+    got_gate = get_criterion(dataclasses.replace(cfg, th_wplbl=th))(
+        logits, batch, extra)[0]
+    np.testing.assert_allclose(float(got_gate), want_gate, rtol=1e-5)
