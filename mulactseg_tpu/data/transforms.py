@@ -24,7 +24,11 @@ from mulactseg_tpu.data.constants import IMAGENET_MEAN, IMAGENET_STD
 def _to_pil(img) -> Image.Image:
     if isinstance(img, Image.Image):
         return img
-    return Image.fromarray(img)
+    # fromarray on a non-contiguous view (the _scaled_crop window slice)
+    # falls into PIL's slow tobytes() serialization (~15 ms/item at
+    # recipe shapes); a numpy strided memcpy first lets PIL wrap the
+    # buffer directly (same values, ~4x faster)
+    return Image.fromarray(np.ascontiguousarray(img))
 
 
 def resize_image(img: np.ndarray, size_hw: Tuple[int, int],
