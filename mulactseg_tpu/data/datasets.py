@@ -223,9 +223,12 @@ class RegionDatasetOr:
             # CALL (fresh per epoch — ExtRandomHorizontalFlip in
             # region_cityscapes_or_tensor_ignore_asyncv2.py:19), exactly
             # like the strong transform's own stream
+            from mulactseg_tpu.data.transforms import train_out_dtype
+
             self._weak_tf = PairedTransform(
                 resize_to=weak_size, hflip=async_weak_hflip,
                 emit_u8=getattr(cfg, "ship_uint8", False),
+                out_dtype=train_out_dtype(cfg),
                 seed=cfg.seed + 7919)
         self.cfg = cfg
         self.split = split

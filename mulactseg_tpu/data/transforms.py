@@ -82,17 +82,41 @@ def _pil_nearest_index(n_src: int, n_out: int) -> np.ndarray:
 # loader normalizes a 768^2 crop per item)
 _NORM_LUT = ((np.arange(256, dtype=np.float32)[:, None] / 255.0
               - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+_NORM_LUTS = {np.dtype(np.float32): _NORM_LUT}
 
 
-def normalize(img_u8: np.ndarray) -> np.ndarray:
+def normalize(img_u8: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """dtype: emit the normalized image in this dtype directly. A bf16
+    LUT (the f32 table value-rounded once) makes the gather produce
+    exactly what normalize(f32).astype(bf16) would — but in ONE pass
+    with half the write bytes, and the trainer's bf16 post hook then
+    skips its own full-array cast."""
+    dt = np.dtype(dtype)
+    lut = _NORM_LUTS.get(dt)
+    if lut is None:
+        lut = _NORM_LUT.astype(dt)
+        _NORM_LUTS[dt] = lut
     if img_u8.dtype == np.uint8 and img_u8.ndim == 3 and \
-            img_u8.shape[-1] == _NORM_LUT.shape[1]:
-        out = np.empty(img_u8.shape, np.float32)
-        for c in range(_NORM_LUT.shape[1]):
-            out[..., c] = _NORM_LUT[img_u8[..., c], c]
+            img_u8.shape[-1] == lut.shape[1]:
+        out = np.empty(img_u8.shape, dt)
+        for c in range(lut.shape[1]):
+            out[..., c] = lut[img_u8[..., c], c]
         return out
     x = img_u8.astype(np.float32) / 255.0
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    return x if dt == np.float32 else x.astype(dt)
+
+
+def train_out_dtype(cfg):
+    """Host-side image dtype for train transforms: bf16 when the model
+    computes in bf16 (halves transfer AND the LUT write) unless the
+    loader ships uint8 (normalization then happens on device)."""
+    if (getattr(cfg, "dtype", "") == "bfloat16"
+            and not getattr(cfg, "ship_uint8", False)):
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    return np.float32
 
 
 class PairedTransform:
@@ -106,6 +130,7 @@ class PairedTransform:
                  hflip: bool = False,
                  resize_to: Optional[Tuple[int, int]] = None,
                  emit_u8: bool = False,
+                 out_dtype=np.float32,
                  seed: int = 0):
         self.scale_range = scale_range
         self.crop_size = crop_size
@@ -116,6 +141,7 @@ class PairedTransform:
         # skip host normalization, hand the uint8 crop through (the train
         # step normalizes on device when it sees a uint8 batch)
         self.emit_u8 = emit_u8
+        self.out_dtype = out_dtype
         self.rng = np.random.RandomState(seed)
 
     def __call__(self, image: np.ndarray, labels: List[np.ndarray]):
@@ -219,7 +245,7 @@ class PairedTransform:
 
         image = np.ascontiguousarray(image)
         if not self.emit_u8:
-            image = normalize(image)
+            image = normalize(image, self.out_dtype)
         labels = [np.ascontiguousarray(l).astype(np.int32) for l in labels]
         return image, labels
 
@@ -228,23 +254,25 @@ def get_train_transform(name: str, cfg, seed: int = 0) -> PairedTransform:
     """Named registry (dataloader/transform.py:5-171)."""
     crop = tuple(cfg.crop_size)
     u8 = getattr(cfg, "ship_uint8", False)
+    odt = train_out_dtype(cfg)
     if name in ("rescale_769_multi_notrg", "rescale_513_multi_notrg"):
         # train: image + [spx]; pad spx with nseg
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.nseg], hflip=True,
-                               emit_u8=u8, seed=seed)
+                               emit_u8=u8, out_dtype=odt, seed=seed)
     if name in ("rescale_769_multi_ignore_notrg",
                 "rescale_513_multi_ignore_notrg"):
         # _ignore loaders: image + [GT, spx]; per-label pad values
         # (dataloader/transform.py:62 pattern)
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.ignore_idx, cfg.nseg],
-                               hflip=True, emit_u8=u8, seed=seed)
+                               hflip=True, emit_u8=u8, out_dtype=odt,
+                               seed=seed)
     if name in ("rescale_769_nospx", "rescale_513_notrg"):
         # stage-2: image + [plbl GT]; pad with ignore
         return PairedTransform(scale_range=(0.5, 2.0), crop_size=crop,
                                pad_values=[cfg.ignore_idx], hflip=True,
-                               emit_u8=u8, seed=seed)
+                               emit_u8=u8, out_dtype=odt, seed=seed)
     if name == "eval_spx" or name == "eval_spx_identity":
         return PairedTransform(seed=seed)  # identity + normalize
     raise KeyError(f"unknown transform {name!r}")

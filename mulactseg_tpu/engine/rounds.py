@@ -176,9 +176,12 @@ class ALTrainer:
                 # uint8 crops (cfg.ship_uint8) stay uint8 — casting here
                 # would both lose the 1-byte/px transfer and defeat the
                 # dtype check that triggers on-device normalization
-                # (engine/train._build_loss_fn)
+                # (engine/train._build_loss_fn); already-bf16 images (the
+                # train transform's out_dtype emits them directly) skip
+                # the redundant full-array astype copy
                 for k in ("images", "images_weak"):
-                    if k in batch and batch[k].dtype != np.uint8:
+                    if (k in batch and batch[k].dtype != np.uint8
+                            and batch[k].dtype != ml_dtypes.bfloat16):
                         batch[k] = batch[k].astype(ml_dtypes.bfloat16)
                 return batch
         loader = DataProvider(trainset, cfg.train_batch_size, shuffle=True,

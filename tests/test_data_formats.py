@@ -175,6 +175,37 @@ def test_label_assignment_cli(disk_fixture, tmp_path):
             assert len(np.unique(dom[m])) == 1
 
 
+def test_normalize_bf16_lut_matches_cast():
+    """normalize(img, bf16) must be bit-identical to
+    normalize(img).astype(bf16) — the bf16 LUT is the f32 table rounded
+    once, so the one-pass gather equals the two-pass cast."""
+    import ml_dtypes
+
+    from mulactseg_tpu.data.transforms import (
+        PairedTransform,
+        normalize,
+        train_out_dtype,
+    )
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (40, 56, 3), np.uint8)
+    direct = normalize(img, ml_dtypes.bfloat16)
+    two_pass = normalize(img).astype(ml_dtypes.bfloat16)
+    assert direct.dtype == ml_dtypes.bfloat16
+    np.testing.assert_array_equal(direct.view(np.uint16),
+                                  two_pass.view(np.uint16))
+
+    cfg_bf16 = Config(dtype="bfloat16")
+    assert train_out_dtype(cfg_bf16) == ml_dtypes.bfloat16
+    assert train_out_dtype(Config(dtype="float32")) == np.float32
+    # ship_uint8 keeps crops u8 — the dtype knob must not interfere
+    assert train_out_dtype(Config(dtype="bfloat16",
+                                  ship_uint8=True)) == np.float32
+    tf = PairedTransform(out_dtype=ml_dtypes.bfloat16)
+    out, _ = tf(img, [np.zeros((40, 56), np.int32)])
+    assert out.dtype == ml_dtypes.bfloat16
+
+
 def test_gen_datalists_cli(disk_fixture, tmp_path):
     from mulactseg_tpu.data import load_region_dict
     from mulactseg_tpu.tools.gen_datalists import main as gen_main
