@@ -208,7 +208,12 @@ def test_ship_uint8_through_altrainer_matches_f32(tmp_path):
                                     nseg=16)
         ds.transform = get_train_transform("rescale_769_multi_notrg", cfg)
         item = ds[0]
-        assert item["images"].dtype == (np.uint8 if ship_u8 else np.float32)
+        # under --dtype bfloat16 the train transform emits bf16 directly
+        # (bf16 normalize LUT); uint8 crops still pass straight through
+        import ml_dtypes
+
+        assert item["images"].dtype == (
+            np.uint8 if ship_u8 else ml_dtypes.bfloat16)
         active = RegionActiveSet(cfg, ds, ds)
         tr = ALTrainer(cfg, 1)
         seen = []
