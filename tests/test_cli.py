@@ -23,6 +23,7 @@ def test_parse_config_reference_flags():
     assert cfg.trg_datalist.endswith("train_seed2048.txt")
 
 
+@pytest.mark.slow
 def test_train_al_cli_synthetic(tmp_path):
     from mulactseg_tpu.cli.train_al import main
     results = main([

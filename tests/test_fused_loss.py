@@ -258,6 +258,7 @@ def test_pixel_partial_ce_nchw_interpret():
                                rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_lossdecomp_fused_nchw_path_matches_row_path():
     """The CHUNK-divisible (nchw kernel) and the row-kernel dispatch of
     lossdecomp_fused agree on CPU (both hit dense fallbacks; pins the

@@ -97,6 +97,7 @@ def test_altrainer_auto_layout_matches_default(tmp_path, monkeypatch):
     np.testing.assert_allclose(run(auto=False), run(auto=True), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_altrainer_uses_scan_dispatch(tmp_path):
     from mulactseg_tpu.active import RegionActiveSet
     from mulactseg_tpu.engine.rounds import ALTrainer

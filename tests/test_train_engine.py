@@ -115,6 +115,7 @@ def test_data_parallel_step_on_mesh(setup):
     assert np.isfinite(float(aux["train_loss"]))
 
 
+@pytest.mark.slow
 def test_nchw_logits_handoff_matches_nhwc(setup):
     """The NCHW logits hand-off (DeepLabV3 nchw_logits=True -> criterion
     nchw=True) must give the same loss and parameter gradients as the
@@ -149,6 +150,7 @@ def test_nchw_logits_handoff_matches_nhwc(setup):
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_uint8_batch_matches_host_normalized(setup):
     """cfg.ship_uint8 path: a uint8 image batch is normalized on device
     (engine/train._device_normalize) and produces the same loss/update as
@@ -186,6 +188,7 @@ def test_uint8_batch_matches_host_normalized(setup):
     np.testing.assert_array_equal(lb_u[0], lb_f[0])
 
 
+@pytest.mark.slow
 def test_ship_uint8_through_altrainer_matches_f32(tmp_path):
     """Regression: the bf16 loader post hook must NOT cast uint8 crops
     (that would defeat the dtype check that triggers on-device
