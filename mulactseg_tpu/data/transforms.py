@@ -50,6 +50,13 @@ def resize_image(img: np.ndarray, size_hw: Tuple[int, int],
         # same-size bilinear/nearest resample is the identity; Cityscapes
         # val hits this on every image (resize 1024x2048 -> 1024x2048)
         return img
+    if not nearest and img.dtype == np.uint8:
+        from mulactseg_tpu import native
+
+        if native.lib() is not None:
+            # byte-exact PIL twin (tests/test_native_transform.py), one
+            # GIL-released C++ pass, no PIL buffer copies
+            return native.resize_bilinear_u8(img, size_hw, box=box)
     mode = Image.NEAREST if nearest else Image.BILINEAR
     pil = _to_pil(img if img.dtype != np.int32 else img.astype(np.int32))
     if nearest and img.dtype not in (np.uint8,):
@@ -85,19 +92,30 @@ _NORM_LUT = ((np.arange(256, dtype=np.float32)[:, None] / 255.0
 _NORM_LUTS = {np.dtype(np.float32): _NORM_LUT}
 
 
+def _norm_lut_for(dtype) -> np.ndarray:
+    dt = np.dtype(dtype)
+    lut = _NORM_LUTS.get(dt)
+    if lut is None:
+        lut = _NORM_LUT.astype(dt)
+        _NORM_LUTS[dt] = lut
+    return lut
+
+
 def normalize(img_u8: np.ndarray, dtype=np.float32) -> np.ndarray:
     """dtype: emit the normalized image in this dtype directly. A bf16
     LUT (the f32 table value-rounded once) makes the gather produce
     exactly what normalize(f32).astype(bf16) would — but in ONE pass
     with half the write bytes, and the trainer's bf16 post hook then
     skips its own full-array cast."""
-    dt = np.dtype(dtype)
-    lut = _NORM_LUTS.get(dt)
-    if lut is None:
-        lut = _NORM_LUT.astype(dt)
-        _NORM_LUTS[dt] = lut
+    lut = _norm_lut_for(dtype)
+    dt = lut.dtype
     if img_u8.dtype == np.uint8 and img_u8.ndim == 3 and \
             img_u8.shape[-1] == lut.shape[1]:
+        from mulactseg_tpu import native
+
+        if native.lib() is not None and img_u8.flags.c_contiguous:
+            # same table, same gather, one GIL-released C pass
+            return native.lut_normalize(img_u8, lut)
         out = np.empty(img_u8.shape, dt)
         for c in range(lut.shape[1]):
             out[..., c] = lut[img_u8[..., c], c]
@@ -217,7 +235,15 @@ class PairedTransform:
         # no tie jitter; only the bilinear image carries ±LSB noise)
         yi = _pil_nearest_index(h0, nh)[y0:y0 + oh]
         xi = _pil_nearest_index(w0, nw)[x0:x0 + ow]
-        labels = [l[yi[:, None], xi[None, :]] for l in labels]
+        from mulactseg_tpu import native
+
+        if native.lib() is not None and all(
+                l.dtype in (np.uint8, np.int32) for l in labels):
+            # same gather in one C pass, emitting the int32 the collate
+            # path needs anyway
+            labels = [native.gather2d(l, yi, xi) for l in labels]
+        else:
+            labels = [l[yi[:, None], xi[None, :]] for l in labels]
         if oh < ch or ow < cw:
             image, labels = self._pad_to(image, labels, ch, cw)
         return image, labels
@@ -239,13 +265,27 @@ class PairedTransform:
         return image, labels
 
     def _finish(self, image, labels):
-        if self.hflip and self.rng.rand() < 0.5:
-            image = image[:, ::-1]
+        # same RNG consumption as the numpy path: one draw, only if hflip
+        flip = bool(self.hflip and self.rng.rand() < 0.5)
+        if flip:
             labels = [l[:, ::-1] for l in labels]
 
-        image = np.ascontiguousarray(image)
-        if not self.emit_u8:
-            image = normalize(image, self.out_dtype)
+        from mulactseg_tpu import native
+
+        if (native.lib() is not None and image.dtype == np.uint8
+                and image.ndim == 3 and image.shape[-1] == 3
+                and image.flags.c_contiguous):
+            # fused (flip +) LUT-normalize / contiguous copy: one C pass
+            # instead of flip view -> ascontiguousarray -> LUT gathers
+            image = (native.flip_copy_u8(image, flip) if self.emit_u8 else
+                     native.lut_normalize(image, _norm_lut_for(self.out_dtype),
+                                          flip))
+        else:
+            if flip:
+                image = image[:, ::-1]
+            image = np.ascontiguousarray(image)
+            if not self.emit_u8:
+                image = normalize(image, self.out_dtype)
         labels = [np.ascontiguousarray(l).astype(np.int32) for l in labels]
         return image, labels
 

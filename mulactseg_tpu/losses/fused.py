@@ -41,6 +41,12 @@ def pixel_target_bits(target: np.ndarray, spx: np.ndarray,
     # crop padding writes nseg into the spx map (transform.py:62 pad
     # convention); those pixels are never selected, so clip the lookup
     # and let the spmask zero them
+    from mulactseg_tpu import native
+
+    if (native.lib() is not None and spx.dtype == np.int32
+            and spmask.dtype == np.bool_):
+        # identical clip+gather+gate, one GIL-released C pass
+        return native.bits_lookup(spx, spmask, seg_bits)
     spx_c = np.minimum(spx, seg_bits.shape[0] - 1)
     return (seg_bits[spx_c] * spmask).astype(np.int32)
 
