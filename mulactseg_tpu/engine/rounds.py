@@ -118,8 +118,16 @@ class ALTrainer:
             out = self.eval_step(self.state.params, self.state.batch_stats,
                                  imgs)
             return out[:n]
-        return self.eval_step(self.state.params, self.state.batch_stats,
-                              jnp.asarray(images))
+        # single chip: pad a short final batch (e.g. 2975 pool images % 4)
+        # up to val_batch_size — one compiled shape instead of a
+        # minutes-long extra jit compile for the tail batch
+        images = np.asarray(images)
+        n = images.shape[0]
+        if 0 < n < self.cfg.val_batch_size:
+            images, _ = pad_to_multiple(images, self.cfg.val_batch_size)
+        out = self.eval_step(self.state.params, self.state.batch_stats,
+                             jnp.asarray(images))
+        return out[:n]
 
     # -- checkpointing ------------------------------------------------------------
     def save(self, path: Optional[str] = None):

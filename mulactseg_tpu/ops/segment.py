@@ -647,14 +647,15 @@ def _ssm_nchw_impl(logits_cs, sid, num_segments, temp):
 
     B, C, HW = logits_cs.shape
     P = B * HW
-    if (_os.environ.get("MULACTSEG_NCHW_SCATTER", "0") != "0"
+    if (_os.environ.get("MULACTSEG_NCHW_SCATTER", "1") != "0"
             and num_segments + 1 <= 9216):
         # sort-free path: softmax + run merge + VMEM scatter-max in one
         # kernel (segment_pallas.scatter_softmax_max_nchw) — no (P, 128)
         # gather source in HBM, no key sort, no latency-bound gather.
-        # OPT-IN until measured on the target chip: the data-dependent
-        # scalar walk makes Mosaic compiles very slow (>30 min observed),
-        # which the persistent cache only amortizes after a first run.
+        # DEFAULT ON: measured 34.12 img/s vs 29.67 with the sorted
+        # pipeline on the real v5e (2026-08-19, /tmp/r4_scatter_bench.log,
+        # BASELINE.md round-4 knob table). Set MULACTSEG_NCHW_SCATTER=0
+        # to fall back to the sorted pipeline.
         # The S guard keeps the kernel's VMEM-resident accumulator pair
         # (2 x (S_pad, 128) x 4 B = S_pad KiB) within ~9 MB of the chip's
         # ~16 MB VMEM alongside ~4 MB of scratch/blocks; larger segment

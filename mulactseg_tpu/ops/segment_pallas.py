@@ -449,8 +449,8 @@ def _prereduce_nchw_kernel(lg_ref, sid_ref, outv_ref, choice_ref, *,
 # ---------------------------------------------------------------------------
 
 
-def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
-                             scr_r, *, inv_temp, P, invalid, dbl):
+def _scatter_max_nchw_kernel(lg_ref, sid_ref, sid_s, jump_s, accv, acci,
+                             scr_v, scr_i, *, inv_temp, P, invalid, dbl):
     cell = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(cell == 0)
@@ -493,13 +493,18 @@ def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
     scr_v[:, C:] = jnp.zeros((CH, LANES - C), jnp.float32)
     scr_i[:, :C] = idx.T
     scr_i[:, C:] = jnp.zeros((CH, LANES - C), jnp.int32)
-    scr_r[...] = reach
+    del reach  # the walk's jump stream comes precomputed via SMEM
 
     def cond(l):
         return l < CH
 
     def body(l):
-        s = sid_ref[0, 0, l]
+        # scalar loads MUST come from SMEM: a dynamic lane index into a
+        # VMEM ref is rejected by Mosaic ("cannot statically prove that
+        # index in dimension 2 is a multiple of 128") — measured on the
+        # real v5e (BASELINE.md round-4 knob table). The sid/jump streams
+        # are therefore fed a second time as SMEM blocks.
+        s = sid_s[0, 0, l]
 
         @pl.when(s != invalid)
         def _():
@@ -511,7 +516,7 @@ def _scatter_max_nchw_kernel(lg_ref, sid_ref, accv, acci, scr_v, scr_i,
             acci[pl.ds(s, 1), :] = jnp.where(take, scr_i[pl.ds(l, 1), :],
                                              oldi)
 
-        return l + scr_r[0, l]
+        return l + jump_s[0, 0, l]
 
     lax.while_loop(cond, body, 0)
 
@@ -536,6 +541,22 @@ def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
     G = HW // NCHW_CHUNK
     P = B * HW
     S_pad = -(-(num_segments + 1) // 8) * 8
+    sid3 = sid3.astype(jnp.int32)
+    # the walk's jump table, precomputed in XLA (it depends only on sid):
+    # jump[l] = min(lanes until the sid changes or the chunk ends, 2**dbl)
+    # == the kernel's doubling-scan reach, so l += jump visits exactly the
+    # positions whose (val, idx) cover the chunk disjointly
+    sc = sid3.reshape(B * G, NCHW_CHUNK)
+    pos = jnp.arange(NCHW_CHUNK, dtype=jnp.int32)[None, :]
+    change = jnp.concatenate(
+        [sc[:, 1:] != sc[:, :-1],
+         jnp.ones((B * G, 1), bool)], axis=1)
+    boundary = jnp.where(change, pos + 1, NCHW_CHUNK)
+    nxt = lax.cummin(boundary, axis=1, reverse=True)
+    jump = jnp.minimum(nxt - pos, 1 << dbl)
+    smem_spec = pl.BlockSpec((1, 1, NCHW_CHUNK),
+                             lambda b, i: (b * (HW // NCHW_CHUNK) + i, 0, 0),
+                             memory_space=pltpu.SMEM)
     accv, acci = pl.pallas_call(
         functools.partial(_scatter_max_nchw_kernel, inv_temp=1.0 / temp,
                           P=P, invalid=num_segments, dbl=dbl),
@@ -543,6 +564,8 @@ def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
         in_specs=[
             pl.BlockSpec((1, C, NCHW_CHUNK), lambda b, i: (b, 0, i)),
             pl.BlockSpec((1, 1, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+            smem_spec,
+            smem_spec,
         ],
         out_specs=[
             pl.BlockSpec((S_pad, LANES), lambda b, i: (0, 0)),
@@ -555,10 +578,9 @@ def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
         scratch_shapes=[
             pltpu.VMEM((NCHW_CHUNK, LANES), jnp.float32),
             pltpu.VMEM((NCHW_CHUNK, LANES), jnp.int32),
-            pltpu.VMEM((1, NCHW_CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(logits_cs, sid3.astype(jnp.int32))
+    )(logits_cs, sid3, sc[:, None, :], jump[:, None, :])
     mx, pix = accv[:num_segments, :C], acci[:num_segments, :C]
     # the accumulator inits at -1 so that an exactly-0.0 max prob (f32
     # softmax underflow) still wins and records its argmax pixel; absent

@@ -51,6 +51,22 @@ def test_dp_state_replicated_and_pool_scoring_pads(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_single_chip_tail_batch_pads_to_val_batch_size(tmp_path):
+    """Single-chip predict_logits pads a short final pool batch (e.g.
+    2975 % 4) up to val_batch_size so the sweep reuses ONE compiled
+    shape, and slices the pad rows back off."""
+    cfg = dp_cfg(tmp_path, n_devices=1, val_batch_size=4)
+    trainer = ALTrainer(cfg, selection_iter=1)
+    assert not trainer.dp
+
+    rs = np.random.RandomState(0)
+    imgs = rs.randn(4, 32, 32, 3).astype(np.float32)
+    full = np.asarray(trainer.predict_logits(imgs))
+    tail = np.asarray(trainer.predict_logits(imgs[:3]))
+    assert tail.shape[0] == 3
+    np.testing.assert_allclose(tail, full[:3], rtol=1e-5, atol=1e-5)
+
+
 def test_dp_batch_size_divisibility_guard(tmp_path):
     cfg = dp_cfg(tmp_path, train_batch_size=6)
     with pytest.raises(ValueError, match="not divisible"):
