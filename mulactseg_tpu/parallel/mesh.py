@@ -78,6 +78,35 @@ def pad_to_multiple(x, multiple: int):
     return np_.concatenate([np_.asarray(x), pad], axis=0), n
 
 
+def global_batch_from_local(batch: Any, mesh: Mesh, axis: str = "data",
+                            batch_dim: int = 0) -> Any:
+    """Multi-host feeding contract.
+
+    On a multi-host TPU pod each process sees only its local devices, and
+    `jax.device_put` of a full global batch would require every host to
+    materialize all N*B images. The contract here: every process feeds
+    ONLY its process-local slice of the global batch — rows
+    [proc_idx * B_local : (proc_idx+1) * B_local] in global order, where
+    B_local = global_batch / process_count (each host's DataProvider gets
+    a disjoint shard of the datalist in global index order) — and this
+    helper assembles the logically-global jax.Array via
+    jax.make_array_from_process_local_data without any cross-host copy.
+
+    On a single process (this environment, and the driver's virtual CPU
+    mesh) the local slice IS the global batch and the result is
+    bit-identical to shard_batch — asserted by
+    tests/test_multichip.py::test_global_batch_from_local_matches_shard_batch.
+    The >1-process path cannot be executed here (one host); its shape
+    contract is (B_local, ...) per process with B_local * process_count
+    == global batch, which make_array_from_process_local_data validates
+    at runtime.
+    """
+    sh = batch_sharding(mesh, axis, batch_dim)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
+
+
 def spatial_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the image HEIGHT across the mesh for full-resolution
     single-image eval (the reference evaluates Cityscapes val at

@@ -51,6 +51,26 @@ def test_dp_state_replicated_and_pool_scoring_pads(tmp_path):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_global_batch_from_local_matches_shard_batch():
+    """Multi-host feeding contract (parallel/mesh.global_batch_from_local):
+    on one process the local slice IS the global batch and the assembled
+    jax.Array must be bit-identical to shard_batch, with the same
+    sharding. The >1-process path can't execute on one host; this pins
+    the single-process degenerate case + the API shape contract."""
+    from mulactseg_tpu.parallel.mesh import (global_batch_from_local,
+                                             make_mesh, shard_batch)
+
+    mesh = make_mesh(8)
+    rs = np.random.RandomState(0)
+    batch = {"images": rs.randn(8, 4, 4, 3).astype(np.float32),
+             "spx": rs.randint(0, 5, (8, 4, 4)).astype(np.int32)}
+    a = shard_batch(batch, mesh)
+    b = global_batch_from_local(batch, mesh)
+    for k in batch:
+        assert b[k].sharding.is_equivalent_to(a[k].sharding, b[k].ndim)
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
 def test_single_chip_tail_batch_pads_to_val_batch_size(tmp_path):
     """Single-chip predict_logits pads a short final pool batch (e.g.
     2975 % 4) up to val_batch_size so the sweep reuses ONE compiled
