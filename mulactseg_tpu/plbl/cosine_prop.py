@@ -91,13 +91,15 @@ def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
                                              "chunk", "ignore_value",
                                              "propagate",
                                              "filter_within_by_pred",
-                                             "filter_prop_by_pred"))
+                                             "filter_prop_by_pred",
+                                             "sim_bf16"))
 def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
                           proto_cls, proto_valid, proto_adj, *, nseg: int,
                           threshold_median: bool = True, chunk: int = 65536,
                           ignore_value: int = 255, propagate: bool = True,
                           filter_within_by_pred: bool = False,
-                          filter_prop_by_pred: bool = False):
+                          filter_prop_by_pred: bool = False,
+                          sim_bf16: bool = False):
     """Single-image pseudo-label map.
 
     feats (P, Ch) L2-normalized; probs (P, C) softmax; spx (P,) int;
@@ -128,13 +130,32 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
     pf = jnp.where(proto_ok[:, None], pf, 0.0).astype(jnp.float32)  # (NP, Ch)
     adj_t = proto_adj.T  # (S, NP)
 
+    # the two (pixels x prototypes) similarity matmuls dominate the
+    # device time at full res. An f32 dot lowers to 3 bf16 MXU passes on
+    # TPU; with unit-norm features a single bf16 pass (f32 accumulate)
+    # keeps similarities within ~4e-3 — below the noise of a network that
+    # computed the features in bf16 to begin with, which is when the
+    # generator enables this (cfg.dtype == bfloat16). Exactness tests and
+    # the torch round-parity harness run with sim_bf16=False.
+    pf_mm = pf.T.astype(jnp.bfloat16) if sim_bf16 else pf.T
+
+    def _sim(cf):
+        if sim_bf16:
+            # cf arrives pre-cast (the padded feature tensor is stored
+            # bf16 so both scan passes read half the HBM bytes)
+            return jax.lax.dot(cf, pf_mm,
+                               preferred_element_type=jnp.float32)
+        return cf @ pf_mm
+
     pad = (-P) % chunk
-    feats_p = jnp.pad(feats.astype(jnp.float32), ((0, pad), (0, 0)))
+    feats_p = jnp.pad(
+        feats.astype(jnp.bfloat16 if sim_bf16 else jnp.float32),
+        ((0, pad), (0, 0)))
     spx_p = jnp.pad(spx.astype(jnp.int32), (0, pad), constant_values=0)
 
     def pass1(carry, xs):
         cf, cs = xs
-        sim = cf @ pf.T  # (T, NP) cosine similarities on the MXU
+        sim = _sim(cf)  # (T, NP) cosine similarities on the MXU
         own = (proto_sid[None, :] == cs[:, None]) & proto_ok[None, :]
         s_own = jnp.where(own, sim, NEG)
         nn_sim = jnp.max(s_own, axis=-1)
@@ -168,7 +189,7 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
 
     def pass2(carry, xs):
         cf, cs, cp = xs
-        sim = cf @ pf.T  # (T, NP)
+        sim = _sim(cf)  # (T, NP)
         cand = jnp.take(adj_t, cs, axis=0) & proto_ok[None, :]  # (T, NP)
         passing = cand & (sim > thr[None, :])
         src = jnp.max(jnp.where(passing, proto_sid[None, :], -1), axis=-1)

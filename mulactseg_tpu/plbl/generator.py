@@ -189,34 +189,54 @@ class PseudoLabelGenerator:
             if cfg.save_vis:
                 os.makedirs(vis_dir, exist_ok=True)
 
-        # pipelined loop: submit image i to the device (async dispatch),
-        # compute image i+1's host-side adjacency on a worker thread, then
-        # fetch i's result — the adjacency cost hides behind device time
+        # two-deep pipelined loop. Per image, IN DISPATCH ORDER (the
+        # tunnel executes dispatches FIFO, so ordering is the contract):
+        #   1. feat forward + plbl kernel (plbl_for_batch)
+        #   2. IoU confusion-matrix update + uint8 cast, straight off the
+        #      device-resident map (one dispatch; queuing it after the
+        #      NEXT image's forward would stall the fetch behind it)
+        #   3. next image's host-side adjacency on a worker thread
+        #   4. retire image i-1: fetch its (long-finished) uint8 map
+        #      (1 B/px down the tunnel) + PNG save — hides behind image
+        #      i's device compute.
+        # The reference's equivalent loop is fully serial per image
+        # (eval_save_cosplbl_prop.py:121-313).
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=1)
-        it = iter(loader)
-        batch = next(it, None)
-        prep = self.host_prep(batch, suppix) if batch is not None else None
-        while batch is not None:
-            labels = np.asarray(batch["labels"])
-            plbl, spx_map = self.plbl_for_batch(params, batch_stats, batch,
-                                                suppix, prep=prep)
-            nxt = next(it, None)
-            prep_future = (pool.submit(self.host_prep, nxt, suppix)
-                           if nxt is not None else None)
-            plbl_np = np.asarray(plbl).astype(np.uint8)
-            iou._after_step({"outputs": plbl_np[None],
-                             "targets": labels})
+        def _retire(entry):
+            batch, u8_dev, spx_map = entry
+            plbl_np = np.asarray(u8_dev)
             if save_dir:
-                lbl_id = os.path.basename(batch["fnames"][0][1]).split(".")[0]
+                lbl_id = os.path.basename(
+                    batch["fnames"][0][1]).split(".")[0]
                 Image.fromarray(plbl_np).save(
                     os.path.join(save_dir, f"{lbl_id}.png"))
                 if cfg.save_vis:
                     self._save_vis(plbl_np, spx_map,
                                    os.path.join(vis_dir, f"{lbl_id}.png"))
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        it = iter(loader)
+        batch = next(it, None)
+        prep = self.host_prep(batch, suppix) if batch is not None else None
+        inflight = None
+        while batch is not None:
+            plbl, spx_map = self.plbl_for_batch(params, batch_stats, batch,
+                                                suppix, prep=prep)
+            # confusion_matrix flattens both sides, so the (H, W) device
+            # map pairs with the (1, H, W) host labels without an eager
+            # (= extra tunnel dispatch) reshape
+            u8_dev = iou._after_step_device_u8(plbl, batch["labels"])
+            nxt = next(it, None)
+            prep_future = (pool.submit(self.host_prep, nxt, suppix)
+                           if nxt is not None else None)
+            if inflight is not None:
+                _retire(inflight)
+            inflight = (batch, u8_dev, spx_map)
             batch = nxt
             prep = prep_future.result() if prep_future is not None else None
+        if inflight is not None:
+            _retire(inflight)
         pool.shutdown(wait=False)
 
         ious, precs, recs = iou._after_epoch_ipr()
@@ -317,6 +337,11 @@ class PseudoLabelGenerator:
                 propagate=propagate,
                 filter_within_by_pred=filt_within,
                 filter_prop_by_pred=filt_prop,
+                # single-pass bf16 similarity matmuls when the network
+                # itself ran in bf16 (see cosine_prop.py) — the f32 dot
+                # is 3 MXU passes for <4e-3 of extra precision the
+                # features don't carry
+                sim_bf16=(cfg.dtype == "bfloat16"),
             ).reshape(H, W)
             if ptype == "cos_naiveprop":
                 plbl = naive_threshold_fill(

@@ -18,6 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes", "ignore_label"),
+                   donate_argnums=(0,))
+def _cm_update_u8(cm, preds, targets, *, num_classes: int,
+                  ignore_label: int):
+    """One-dispatch streaming update for loops whose predictions are
+    already device-resident (the plbl generator): accumulate the
+    confusion matrix AND cast the prediction map to uint8 in the same
+    executable, so the host fetches 1 byte/pixel instead of 4 and pays
+    one tunnel dispatch instead of two (matmul + eager add)."""
+    cm = cm + confusion_matrix(preds, targets, num_classes=num_classes,
+                               ignore_label=ignore_label)
+    return cm, preds.astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes", "ignore_label"))
 def confusion_matrix(preds, targets, *, num_classes: int, ignore_label: int):
     """(C, C) int32 confusion matrix: rows = GT class, cols = predicted.
@@ -56,6 +70,20 @@ class MeanIoU:
         self.cm = self.cm + confusion_matrix(
             jnp.asarray(preds), jnp.asarray(targets),
             num_classes=self.num_classes, ignore_label=self.ignore_label)
+
+    def _after_step_device_u8(self, preds_dev, targets):
+        """Accumulate from a DEVICE-resident prediction map and return the
+        map as a DEVICE uint8 array (not fetched) — one dispatch, and the
+        eventual fetch moves 1 byte/pixel down the tunnel. Used by the
+        plbl generator, where the int32 map would otherwise round-trip
+        host->device for the matrix and device->host at 4 bytes/pixel for
+        saving. Dispatch this IMMEDIATELY after the producing kernel: the
+        tunnel executes dispatches FIFO, so an update queued after the
+        NEXT image's forward would stall the fetch behind it."""
+        self.cm, u8 = _cm_update_u8(
+            self.cm, jnp.asarray(preds_dev), jnp.asarray(targets),
+            num_classes=self.num_classes, ignore_label=self.ignore_label)
+        return u8
 
     def _after_step_within_predregion(self, output_dict):
         """Accumulate only over pixels the prediction actually labeled

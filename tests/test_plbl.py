@@ -159,6 +159,40 @@ def test_cosine_prototype_plbl_parity(include_onehot, method):
     np.testing.assert_array_equal(got, want)
 
 
+def test_cosine_prototype_plbl_sim_bf16_close():
+    """sim_bf16=True (single-pass bf16 similarity matmuls, the
+    cfg.dtype==bfloat16 production setting) must agree with the exact f32
+    kernel except where bf16 rounding flips genuinely-near-tie
+    prototype/threshold decisions. Random unit features are the
+    tie-heaviest case; real decoder features are far better separated."""
+    rng = np.random.RandomState(3)
+    H = W = 12
+    S, C, Ch = 9, 4, 8
+    spx_map = _grid_spx(H, W, 3)
+    feats = rng.randn(H * W, Ch).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    probs = _softmax(rng.randn(H * W, C).astype(np.float32), 1)
+    targets = np.zeros((S, C), np.float32)
+    for s in range(S):
+        targets[s, rng.choice(C, rng.randint(1, 3), replace=False)] = 1
+    selected = [0, 2, 4, 7]
+    spmask = np.isin(spx_map, selected)
+    proto = selected_spx_adjacency(spx_map, selected, S, targets,
+                                   max_protos=32, include_onehot=True)
+    args = (jnp.asarray(feats), jnp.asarray(probs),
+            jnp.asarray(spx_map.reshape(-1)),
+            jnp.asarray(spmask.reshape(-1)),
+            jnp.asarray(proto[0]), jnp.asarray(proto[1]),
+            jnp.asarray(proto[2]), jnp.asarray(proto[3]))
+    exact = np.asarray(cosine_prototype_plbl(*args, nseg=S, chunk=64))
+    fast = np.asarray(cosine_prototype_plbl(*args, nseg=S, chunk=64,
+                                            sim_bf16=True))
+    # propagation validity itself depends on sim-vs-threshold compares,
+    # so bf16 may flip boundary pixels to/from 255 — only bulk agreement
+    # is asserted
+    assert (exact == fast).mean() >= 0.9
+
+
 def test_within_multihot():
     rng = np.random.RandomState(1)
     B, H, W, C, S = 1, 6, 6, 4, 4
