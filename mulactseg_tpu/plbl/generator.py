@@ -110,6 +110,7 @@ class PseudoLabelGenerator:
         self._feat_step = jax.jit(
             lambda p, bs, x: model.apply({"params": p, "batch_stats": bs}, x,
                                          train=False, return_feat=True))
+        self._fused_step = None
         self._sliding = None
         if plbl_type.endswith("_slide"):
             from mulactseg_tpu.engine.sliding import SlidingEval
@@ -120,6 +121,100 @@ class PseudoLabelGenerator:
                                         crop_size=cfg.slide_crop,
                                         stride_rate=cfg.slide_stride_rate,
                                         return_feat=True)
+        if (plbl_type in _COS_TYPES and plbl_type != "cosprop_plusonehot"
+                and self._sliding is None and not use_tta):
+            self._fused_step = self._build_fused()
+
+    def _build_fused(self):
+        """One-dispatch per-image executable for the cosine types: forward
+        -> softmax -> cosine_prototype_plbl -> confusion-matrix update ->
+        uint8 cast. On this tunnel each dispatch costs ~75 ms and chained
+        dispatches do not pipeline, so folding the ~6-op eager chain of
+        plbl_for_batch + MeanIoU into one jit removes ~0.4 s/image of pure
+        latency (the reference pays none of this — its per-image cost is
+        the double Python loop, eval_save_cosplbl_prop.py:236-305).
+        cosprop_plusonehot keeps the unfused path (its one-hot overwrite
+        needs the raw spmask, not the multi-hot-restricted pixel_valid)."""
+        cfg = self.cfg
+        ptype = self.plbl_type
+        model = self.model
+        include_onehot, propagate, filt_within, filt_prop = _COS_TYPES[ptype]
+        nseg, n_eval = cfg.nseg, cfg.num_classes + 1
+        ignore_idx = cfg.ignore_idx
+        thr_med = cfg.cosprop_threshold_method == "median"
+        sim_bf16 = cfg.dtype == "bfloat16"
+        ce_temp, plbl_th = cfg.ce_temp, cfg.plbl_th
+        from mulactseg_tpu.utils.metrics import confusion_matrix
+
+        def _unpack_bits(packed, n):
+            # inverse of np.packbits(..., bitorder="little"): (..., ceil(n/8))
+            # uint8 -> (..., n) bool, done on device so the tunnel carries
+            # 1 bit/element instead of 1 byte
+            bits = (packed[..., None] >>
+                    jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+            return bits.reshape(*packed.shape[:-1], -1)[..., :n].astype(bool)
+
+        def fused(params, batch_stats, images, spx_flat, pv_packed,
+                  proto_sid, proto_cls, proto_valid, adj_packed, labels, cm):
+            feat, logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=False, return_feat=True)
+            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
+            H, W = images.shape[1:3]
+            pixel_valid = _unpack_bits(pv_packed, H * W)
+            proto_adj = _unpack_bits(adj_packed, nseg)
+            plbl = cosine_prototype_plbl(
+                feat[0].reshape(-1, feat.shape[-1]),
+                probs.reshape(-1, probs.shape[-1]),
+                spx_flat.astype(jnp.int32), pixel_valid, proto_sid,
+                proto_cls, proto_valid,
+                proto_adj, nseg=nseg, threshold_median=thr_med,
+                propagate=propagate, filter_within_by_pred=filt_within,
+                filter_prop_by_pred=filt_prop, sim_bf16=sim_bf16,
+            ).reshape(H, W)
+            if ptype == "cos_naiveprop":
+                # include_onehot=True for this type, so pixel_valid IS the
+                # flat spmask
+                plbl = naive_threshold_fill(
+                    plbl, logits[0], pixel_valid.reshape(H, W),
+                    temp=ce_temp, plbl_th=plbl_th)
+            cm = cm + confusion_matrix(plbl, labels, num_classes=n_eval,
+                                       ignore_label=ignore_idx)
+            return plbl.astype(jnp.uint8), cm
+
+        return jax.jit(fused, donate_argnums=(10,))
+
+    def _fused_args(self, batch, prep):
+        """Host-side packing of one image's fused-step arguments, sized for
+        the tunnel (~85 MB/s host->device): images cast to the network
+        dtype (bf16 halves 24 MB), spx as uint16 when nseg allows, the
+        two dense boolean masks bit-packed (8x). ~40 MB/image -> ~18 MB.
+        Each array is device_put here — this runs on generate()'s prep
+        worker thread, so image i+1's transfers ride behind image i's
+        device compute instead of serializing in front of its dispatch."""
+        (_tg, _sm, proto_sid, proto_cls, proto_valid, proto_adj,
+         pixel_valid) = prep
+        images = np.asarray(batch["images"])
+        # pre-cast to the BACKBONE's compute dtype (its first op is
+        # x.astype(dtype), so the host cast is bit-identical and halves
+        # the image's tunnel bytes); cfg.dtype is not authoritative — the
+        # caller may have built the model in f32
+        mdt = getattr(getattr(self.model, "backbone", None), "dtype", None)
+        if mdt is not None:
+            images = images.astype(mdt)
+        spx_flat = np.asarray(batch["spx"][0]).reshape(-1)
+        spx_flat = spx_flat.astype(
+            np.uint16 if spx_flat.max(initial=0) <= np.iinfo(np.uint16).max
+            else np.int32)
+        args = dict(
+            images=images, spx_flat=spx_flat,
+            pv_packed=np.packbits(pixel_valid, bitorder="little"),
+            proto_sid=proto_sid, proto_cls=proto_cls,
+            proto_valid=proto_valid,
+            adj_packed=np.packbits(proto_adj, axis=-1, bitorder="little"),
+            labels=np.asarray(batch["labels"]),
+        )
+        return {k: jax.device_put(v) for k, v in args.items()}
 
     def _forward(self, params, batch_stats, images):
         if self._sliding is not None:
@@ -216,25 +311,44 @@ class PseudoLabelGenerator:
                                    os.path.join(vis_dir, f"{lbl_id}.png"))
 
         pool = ThreadPoolExecutor(max_workers=1)
+        fused = self._fused_step is not None
+
+        def _prep_one(b):
+            p = self.host_prep(b, suppix)
+            if fused and p is not None:
+                return p, self._fused_args(b, p)
+            return p, None
+
         it = iter(loader)
         batch = next(it, None)
-        prep = self.host_prep(batch, suppix) if batch is not None else None
+        prep, dev_args = _prep_one(batch) if batch is not None else (None,
+                                                                     None)
         inflight = None
         while batch is not None:
-            plbl, spx_map = self.plbl_for_batch(params, batch_stats, batch,
-                                                suppix, prep=prep)
-            # confusion_matrix flattens both sides, so the (H, W) device
-            # map pairs with the (1, H, W) host labels without an eager
-            # (= extra tunnel dispatch) reshape
-            u8_dev = iou._after_step_device_u8(plbl, batch["labels"])
+            if fused and dev_args is not None:
+                spx_map = np.asarray(batch["spx"][0])
+                u8_dev, iou.cm = self._fused_step(
+                    params, batch_stats, dev_args["images"],
+                    dev_args["spx_flat"], dev_args["pv_packed"],
+                    dev_args["proto_sid"], dev_args["proto_cls"],
+                    dev_args["proto_valid"], dev_args["adj_packed"],
+                    dev_args["labels"], iou.cm)
+            else:
+                plbl, spx_map = self.plbl_for_batch(
+                    params, batch_stats, batch, suppix, prep=prep)
+                # confusion_matrix flattens both sides, so the (H, W)
+                # device map pairs with the (1, H, W) host labels without
+                # an eager (= extra tunnel dispatch) reshape
+                u8_dev = iou._after_step_device_u8(plbl, batch["labels"])
             nxt = next(it, None)
-            prep_future = (pool.submit(self.host_prep, nxt, suppix)
+            prep_future = (pool.submit(_prep_one, nxt)
                            if nxt is not None else None)
             if inflight is not None:
                 _retire(inflight)
             inflight = (batch, u8_dev, spx_map)
             batch = nxt
-            prep = prep_future.result() if prep_future is not None else None
+            prep, dev_args = (prep_future.result()
+                              if prep_future is not None else (None, None))
         if inflight is not None:
             _retire(inflight)
         pool.shutdown(wait=False)

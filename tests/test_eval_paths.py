@@ -4,6 +4,7 @@ driven end-to-end on the synthetic fixture."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+from PIL import Image
 
 from mulactseg_tpu.config import Config
 from mulactseg_tpu.data.loader import DataProvider
@@ -105,6 +106,50 @@ def test_plbl_generator_end_to_end(tmp_path):
     assert len(files) == 2 and all(f.endswith(".png") for f in files)
     assert plbl_save_dir("/x/checkpoint00.tar", "cosprop", "00").endswith(
         "plbl_gen_cosprop/round_00")
+
+
+def test_plbl_generator_fused_matches_unfused(tmp_path):
+    """The one-dispatch fused executable (generator._build_fused) must
+    produce byte-identical plbl maps and the same streamed mIoU as the
+    reference-shaped plbl_for_batch + MeanIoU chain it replaces."""
+    cfg = Config(num_classes=5, nseg=16, val_batch_size=1,
+                 method="active_joint_multi_predignore_lossdecomp")
+    m, v = _init(num_classes=6, size=32)
+    ds = SyntheticRegionDataset(n_images=2, H=32, W=32, num_classes=5,
+                                nseg=16, split="active-label", seed=7)
+
+    class EvalView:
+        def __len__(self):
+            return len(ds)
+        def __getitem__(self, i):
+            s = ds[i]
+            gt = np.where(s["labels"] == 255, cfg.num_classes, s["labels"])
+            return {"images": s["images"], "labels": gt, "spx": s["spx"],
+                    "spmask": s["spmask"], "target": s["target"],
+                    "fnames": s["fnames"]}
+
+    import os
+    results = {}
+    for mode in ("fused", "unfused"):
+        loader = DataProvider(EvalView(), 1, shuffle=False, drop_last=False,
+                              infinite=False, num_workers=1)
+        gen = PseudoLabelGenerator(m, cfg, plbl_type="cosprop_includeonehot",
+                                   max_protos=64)
+        if mode == "fused":
+            assert gen._fused_step is not None
+        else:
+            gen._fused_step = None
+        save_dir = str(tmp_path / mode)
+        miou, *_ = gen.generate(v["params"], v["batch_stats"], loader,
+                                save_dir=save_dir, suppix=ds.suppix)
+        maps = {f: np.asarray(Image.open(os.path.join(save_dir, f)))
+                for f in sorted(os.listdir(save_dir))}
+        results[mode] = (miou, maps)
+
+    assert results["fused"][0] == results["unfused"][0]
+    assert sorted(results["fused"][1]) == sorted(results["unfused"][1])
+    for f, arr in results["fused"][1].items():
+        np.testing.assert_array_equal(arr, results["unfused"][1][f])
 
 
 def test_method_to_plbl_aliases_complete():
