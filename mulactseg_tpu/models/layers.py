@@ -159,12 +159,52 @@ def max_pool_3x3_s2(x):
     return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
+def _upsample_axis_int(x, k: int, axis: int):
+    """Bilinear (half-pixel centers, no antialias) upsample by an INTEGER
+    factor k along one axis, as shift + lerp + phase interleave.
+
+    For out index i = k*q + p the source coordinate is q + (p+0.5)/k - 0.5,
+    so the floor offset (-1 or 0) and fractional weight depend only on the
+    phase p — each phase is one elementwise lerp of x with its +/-1 shift
+    (edge-clamped), and stack+reshape interleaves them. No gather and no
+    dot: XLA's alternatives are a windowed convolution over the full input
+    extent (measured 148 ms for the plbl feature upsample; this form is
+    ~7 ms) or 2M-row gathers."""
+    import numpy as np
+
+    n = x.shape[axis]
+    f = (np.arange(k) + 0.5) / k - 0.5
+    off = np.floor(f).astype(int)  # -1 for the leading phases, else 0
+    a = (f - off)  # weight of the higher tap
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    x_prev = jnp.concatenate(
+        [first, jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+    x_next = jnp.concatenate(
+        [jax.lax.slice_in_dim(x, 1, n, axis=axis), last], axis=axis)
+    outs = []
+    for p in range(k):
+        lo, hi = (x_prev, x) if off[p] < 0 else (x, x_next)
+        w = x.dtype.type(a[p])
+        outs.append(lo * (1 - w) + hi * w)
+    y = jnp.stack(outs, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = n * k
+    return y.reshape(shape)
+
+
 def resize_bilinear(x, size: Tuple[int, int]):
     """F.interpolate(mode='bilinear', align_corners=False) equivalent
     (half-pixel centers)."""
-    import jax
     B, H, W, C = x.shape
     if (H, W) == tuple(size):
+        return x
+    oh, ow = size
+    if oh % H == 0 and ow % W == 0:
+        if oh // H > 1:
+            x = _upsample_axis_int(x, oh // H, axis=1)
+        if ow // W > 1:
+            x = _upsample_axis_int(x, ow // W, axis=2)
         return x
     # antialias=False for torch F.interpolate parity (matters only when
     # downsampling; tested in tests/test_backbone_parity.py)

@@ -126,11 +126,16 @@ def test_backbone_forward_parity_with_torch():
 
 def test_bilinear_resize_matches_torch_interpolate():
     """The V3+ head's F.interpolate(align_corners=False) must equal
-    jax.image.resize(method='bilinear') — both use half-pixel centers."""
+    jax.image.resize(method='bilinear') — both use half-pixel centers.
+    resize_bilinear (our wrapper) must match too, including its
+    integer-factor phase-lerp fast path (14,18)/(28,36)/(21,27) and the
+    factor-1-on-one-axis case (7, 18)."""
+    from mulactseg_tpu.models.layers import resize_bilinear
+
     torch.manual_seed(1)
     x = torch.randn(1, 7, 9, 5)  # NHWC for jax
     xt = x.permute(0, 3, 1, 2)
-    for size in ((14, 18), (33, 33), (5, 7)):
+    for size in ((14, 18), (28, 36), (21, 27), (21, 18), (33, 33), (5, 7)):
         want = torch.nn.functional.interpolate(
             xt, size=size, mode="bilinear", align_corners=False)
         want = want.permute(0, 2, 3, 1).numpy()
@@ -138,4 +143,7 @@ def test_bilinear_resize_matches_torch_interpolate():
                                (1, size[0], size[1], 5), method="bilinear",
                                antialias=False)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5)
+        ours = resize_bilinear(jnp.asarray(x.numpy()), size)
+        np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-5,
                                    atol=1e-5)
