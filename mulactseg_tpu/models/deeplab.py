@@ -205,7 +205,8 @@ class DeepLabV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, return_feat: bool = False,
-                 return_aux: bool = False, nchw_logits: bool = False):
+                 return_aux: bool = False, nchw_logits: bool = False,
+                 feat_bf16: bool = False):
         input_size = x.shape[1:3]
         feats = self.backbone(x, train)
         if return_aux:
@@ -217,7 +218,16 @@ class DeepLabV3(nn.Module):
             return resize_bilinear(logits, input_size).astype(jnp.float32), aux
         if return_feat:
             feat, logits = self.classifier(feats, train, return_feat=True)
-            feat = resize_bilinear(feat, input_size).astype(jnp.float32)
+            if feat_bf16:
+                # plbl fast path (generator sim_bf16): cast the normalized
+                # features to bf16 at HEAD resolution so the full-res
+                # upsample writes half the HBM bytes and the cosine
+                # kernel's scan passes read bf16 directly (its matmuls run
+                # bf16 anyway). ~1e-3 of per-pixel sim noise, inside the
+                # sim_bf16 tolerance documented in plbl/cosine_prop.py.
+                feat = resize_bilinear(feat.astype(jnp.bfloat16), input_size)
+            else:
+                feat = resize_bilinear(feat, input_size).astype(jnp.float32)
             logits = resize_bilinear(logits, input_size).astype(jnp.float32)
             return feat, logits
         logits = self.classifier(feats, train)

@@ -68,20 +68,24 @@ def selected_spx_adjacency(spx_map: np.ndarray, selected_ids, nseg: int,
     proto_cls[:len(cls)] = cls
     proto_valid[:len(sid)] = True
 
-    # full adjacency in one pass: 8-neighbor (3x3) shift pairs scattered
-    # straight into the dense bool matrix (an np.unique(axis=0) over the
-    # ~9*H*W raw pairs costs ~23 s/image at 1024x2048 — measured; the
-    # scatter is ~100 ms)
+    # full adjacency from boundary pixels only: adjacency is symmetric
+    # and reflexive, so 4 of the 8 shift directions plus a transpose
+    # cover all pairs, and only pixels where the two ids DIFFER carry
+    # information (~5-10% of the image). An np.unique(axis=0) over the
+    # ~9*H*W raw pairs costs ~23 s/image at 1024x2048 (measured); the
+    # 9 full-image scatters ~130 ms; this filtered form ~30 ms.
     adjp = np.zeros((S + 1, S + 1), bool)  # row/col S = out-of-range sink
     m = np.minimum(spx_map, S)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            a = m[max(0, dy):m.shape[0] + min(0, dy),
-                  max(0, dx):m.shape[1] + min(0, dx)]
-            b = m[max(0, -dy):m.shape[0] + min(0, -dy),
-                  max(0, -dx):m.shape[1] + min(0, -dx)]
-            adjp[a.reshape(-1), b.reshape(-1)] = True
+    for dy, dx in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        a = m[max(0, dy):m.shape[0] + min(0, dy),
+              max(0, dx):m.shape[1] + min(0, dx)].reshape(-1)
+        b = m[max(0, -dy):m.shape[0] + min(0, -dy),
+              max(0, -dx):m.shape[1] + min(0, -dx)].reshape(-1)
+        d = a != b
+        adjp[a[d], b[d]] = True
     adj = adjp[:S, :S]
+    adj |= adj.T
+    np.fill_diagonal(adj, True)  # 3x3 dilation reach includes itself
     proto_adj = np.zeros((NP, S), bool)
     proto_adj[:len(sid)] = adj[sid]
     return proto_sid, proto_cls, proto_valid, proto_adj
@@ -170,9 +174,14 @@ def cosine_prototype_plbl(feats, probs, spx, pixel_valid, proto_sid,
 
     assigned = pixel_valid & (nn_sim > NEG / 2)
     key = jnp.where(assigned, nn_proto, NP)
-    order = jnp.lexsort((nn_sim, key))
-    sorted_sim = nn_sim[order]
-    sorted_key = key[order]
+    # one multi-operand sort (key primary, sim secondary) that CARRIES the
+    # sim values — a lexsort-to-indices plus two (P,) gathers costs ~55 ms
+    # at full res (profiled 2026-08-19: cosine_prop.py:174/175 fusions
+    # 40.6 + 15.0 ms/image); the carried sort removes both gathers. The
+    # per-group sim values are identical either way (sim is itself the
+    # secondary key, so stability only permutes equal sims).
+    sorted_key, sorted_sim = jax.lax.sort((key, nn_sim), dimension=0,
+                                          is_stable=True, num_keys=2)
     ends = jnp.searchsorted(sorted_key, jnp.arange(NP, dtype=jnp.int32),
                             side="right").astype(jnp.int32)
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), ends[:-1]])

@@ -107,9 +107,18 @@ class PseudoLabelGenerator:
         self.plbl_type = plbl_type
         self.use_tta = use_tta
         self.max_protos = max_protos
+        # bf16 feature hand-off when the network computes in bf16 anyway:
+        # the full-res upsample writes half the bytes and the cosine
+        # kernel's bf16 scan reads them directly. Applied to BOTH the
+        # fused and the unfused direct-forward paths so they stay
+        # byte-identical (test_eval_paths.py); TTA/sliding keep f32 feats
+        # (they average across views before the cosine kernel).
+        self._feat_bf16 = (getattr(cfg, "dtype", None) == "bfloat16"
+                           and plbl_type in _COS_TYPES)
         self._feat_step = jax.jit(
             lambda p, bs, x: model.apply({"params": p, "batch_stats": bs}, x,
-                                         train=False, return_feat=True))
+                                         train=False, return_feat=True,
+                                         feat_bf16=self._feat_bf16))
         self._fused_step = None
         self._sliding = None
         if plbl_type.endswith("_slide"):
@@ -158,7 +167,7 @@ class PseudoLabelGenerator:
                   proto_sid, proto_cls, proto_valid, adj_packed, labels, cm):
             feat, logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
-                train=False, return_feat=True)
+                train=False, return_feat=True, feat_bf16=sim_bf16)
             probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
             H, W = images.shape[1:3]
             pixel_valid = _unpack_bits(pv_packed, H * W)
@@ -206,13 +215,20 @@ class PseudoLabelGenerator:
         spx_flat = spx_flat.astype(
             np.uint16 if spx_flat.max(initial=0) <= np.iinfo(np.uint16).max
             else np.int32)
+        labels = np.asarray(batch["labels"])
+        if labels.dtype != np.uint8 and labels.size and \
+                labels.min() >= 0 and labels.max() <= 255:
+            # real loaders emit int32 GT; trainIds (+ ignore 255) fit u8,
+            # so ship 1 B/px instead of 4 — the confusion matrix only
+            # compares integer values
+            labels = labels.astype(np.uint8)
         args = dict(
             images=images, spx_flat=spx_flat,
             pv_packed=np.packbits(pixel_valid, bitorder="little"),
             proto_sid=proto_sid, proto_cls=proto_cls,
             proto_valid=proto_valid,
             adj_packed=np.packbits(proto_adj, axis=-1, bitorder="little"),
-            labels=np.asarray(batch["labels"]),
+            labels=labels,
         )
         return {k: jax.device_put(v) for k, v in args.items()}
 
