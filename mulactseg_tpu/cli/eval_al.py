@@ -119,7 +119,10 @@ def main(argv=None):
         # (eval_region_cityscapes_all.py:21-22)
         eval_all = EvalRegionDatasetAll(
             cfg, label_ds, label_ds.suppix,
-            mask_unselected="withinmulti" in cfg.loader)
+            mask_unselected="withinmulti" in cfg.loader,
+            # raw uint8 on the wire (4x less than f32); the generator
+            # normalizes on device (fused) or host (unfused), same LUT
+            emit_u8=True)
         loader = DataProvider(eval_all, 1, shuffle=False, drop_last=False,
                               infinite=False, num_workers=cfg.val_num_workers)
         gen = PseudoLabelGenerator(trainer.model, cfg,

@@ -670,12 +670,18 @@ class EvalRegionDatasetAll:
 
     def __init__(self, cfg, base: RegionDatasetOr, suppix: Dict[str, List[int]],
                  *, remove_dominant: bool = False,
-                 mask_unselected: bool = False):
+                 mask_unselected: bool = False, emit_u8: bool = False):
         self.cfg = cfg
         self.base = base
         self.suppix = suppix
         self.remove_dominant = remove_dominant
         self.mask_unselected = mask_unselected
+        # emit_u8: hand the raw uint8 image through (6 MB instead of the
+        # 24 MB f32 normalized tensor on the wire); the consumer
+        # normalizes — PseudoLabelGenerator does it on device inside the
+        # fused step, or on host (same LUT, bit-identical) on the unfused
+        # paths. Enabled by the plbl branch of cli/eval_al.py.
+        self.emit_u8 = emit_u8
         self.im_idx = sorted([k for k in base.im_idx if k[2] in suppix])
 
     def __len__(self):
@@ -683,7 +689,9 @@ class EvalRegionDatasetAll:
 
     def __getitem__(self, index: int) -> Dict:
         img_p, lbl_p, spx_p = self.im_idx[index]
-        image = normalize(open_image(img_p))
+        image = open_image(img_p)
+        if not self.emit_u8:
+            image = normalize(image)
         gt = self.base.encode_fn(open_label(lbl_p))
         gt = np.where(gt == self.cfg.ignore_idx, self.cfg.num_classes,
                       gt).astype(np.int32)

@@ -142,6 +142,14 @@ class PseudoLabelGenerator:
         plbl_for_batch + MeanIoU into one jit removes ~0.4 s/image of pure
         latency (the reference pays none of this — its per-image cost is
         the double Python loop, eval_save_cosplbl_prop.py:236-305).
+
+        All per-image arguments arrive as ONE flat uint8 buffer
+        (_fused_args packs it): host->device transfers serialize with
+        device compute on this tunnel AND pay per-array latency, so one
+        device_put of ~13 MB beats eight puts of the same bytes. The
+        static `layout` tuple describes the slices; decoding is a few
+        fused slice/bitcast ops on device.
+
         cosprop_plusonehot keeps the unfused path (its one-hot overwrite
         needs the raw spmask, not the multi-hot-restricted pixel_valid)."""
         cfg = self.cfg
@@ -163,20 +171,46 @@ class PseudoLabelGenerator:
                     jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
             return bits.reshape(*packed.shape[:-1], -1)[..., :n].astype(bool)
 
-        def fused(params, batch_stats, images, spx_flat, pv_packed,
-                  proto_sid, proto_cls, proto_valid, adj_packed, labels, cm):
+        def _decode(buf, layout):
+            out = {}
+            for name, off, nbytes, dtype, shape in layout:
+                seg = buf[off:off + nbytes]
+                dt = jnp.dtype(jnp.bfloat16 if dtype == "bfloat16"
+                               else dtype)
+                if dt.itemsize == 1:
+                    x = seg.astype(dt) if dtype == "bool" else seg
+                else:
+                    # raw little-endian bytes -> dt (matches the host's
+                    # ndarray.view(uint8) byte order; TPU/XLA bitcast of
+                    # (n, k) uint8 -> (n,) k-byte values is little-endian,
+                    # pinned by test_plbl_generator_u8_wire_matches_float)
+                    x = jax.lax.bitcast_convert_type(
+                        seg.reshape(-1, dt.itemsize), dt)
+                out[name] = x.reshape(shape)
+            return out
+
+        def fused(params, batch_stats, buf, cm, *, layout):
+            a = _decode(buf, layout)
+            images = a["images"]
+            if images.dtype == jnp.uint8:
+                # loader shipped the raw bytes (EvalRegionDatasetAll
+                # emit_u8): normalize here — same f32 ops the host LUT
+                # tabulates, so bit-identical to the host path
+                from mulactseg_tpu.engine.train import _device_normalize
+
+                images = _device_normalize(images)
             feat, logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=False, return_feat=True, feat_bf16=sim_bf16)
             probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
             H, W = images.shape[1:3]
-            pixel_valid = _unpack_bits(pv_packed, H * W)
-            proto_adj = _unpack_bits(adj_packed, nseg)
+            pixel_valid = _unpack_bits(a["pv_packed"], H * W)
+            proto_adj = _unpack_bits(a["adj_packed"], nseg)
             plbl = cosine_prototype_plbl(
                 feat[0].reshape(-1, feat.shape[-1]),
                 probs.reshape(-1, probs.shape[-1]),
-                spx_flat.astype(jnp.int32), pixel_valid, proto_sid,
-                proto_cls, proto_valid,
+                a["spx_flat"].astype(jnp.int32), pixel_valid,
+                a["proto_sid"], a["proto_cls"], a["proto_valid"],
                 proto_adj, nseg=nseg, threshold_median=thr_med,
                 propagate=propagate, filter_within_by_pred=filt_within,
                 filter_prop_by_pred=filt_prop, sim_bf16=sim_bf16,
@@ -187,30 +221,37 @@ class PseudoLabelGenerator:
                 plbl = naive_threshold_fill(
                     plbl, logits[0], pixel_valid.reshape(H, W),
                     temp=ce_temp, plbl_th=plbl_th)
-            cm = cm + confusion_matrix(plbl, labels, num_classes=n_eval,
+            cm = cm + confusion_matrix(plbl, a["labels"],
+                                       num_classes=n_eval,
                                        ignore_label=ignore_idx)
             return plbl.astype(jnp.uint8), cm
 
-        return jax.jit(fused, donate_argnums=(10,))
+        return jax.jit(fused, donate_argnums=(3,),
+                       static_argnames=("layout",))
 
     def _fused_args(self, batch, prep):
-        """Host-side packing of one image's fused-step arguments, sized for
-        the tunnel (~85 MB/s host->device): images cast to the network
-        dtype (bf16 halves 24 MB), spx as uint16 when nseg allows, the
-        two dense boolean masks bit-packed (8x). ~40 MB/image -> ~18 MB.
-        Each array is device_put here — this runs on generate()'s prep
-        worker thread, so image i+1's transfers ride behind image i's
-        device compute instead of serializing in front of its dispatch."""
+        """Host-side packing of one image's fused-step arguments into one
+        flat uint8 buffer, sized for the tunnel (~95 MB/s host->device,
+        serialized with compute, per-array latency): images as raw uint8
+        when the loader shipped bytes (else the network dtype), spx as
+        uint16 when nseg allows, GT as uint8 when it fits, the two dense
+        boolean masks bit-packed (8x). ~40 MB/image -> ~13 MB in ONE
+        device_put. Runs on generate()'s prep worker thread. Returns
+        {"buf": device array, "layout": static slice descriptor}."""
         (_tg, _sm, proto_sid, proto_cls, proto_valid, proto_adj,
          pixel_valid) = prep
         images = np.asarray(batch["images"])
-        # pre-cast to the BACKBONE's compute dtype (its first op is
-        # x.astype(dtype), so the host cast is bit-identical and halves
-        # the image's tunnel bytes); cfg.dtype is not authoritative — the
-        # caller may have built the model in f32
-        mdt = getattr(getattr(self.model, "backbone", None), "dtype", None)
-        if mdt is not None:
-            images = images.astype(mdt)
+        if images.dtype != np.uint8:
+            # pre-cast to the BACKBONE's compute dtype (its first op is
+            # x.astype(dtype), so the host cast is bit-identical and
+            # halves the image's tunnel bytes); cfg.dtype is not
+            # authoritative — the caller may have built the model in f32.
+            # uint8 images (emit_u8 loaders) ship as-is (1 B/px, a
+            # further 2x) and normalize on device in the fused step.
+            mdt = getattr(getattr(self.model, "backbone", None), "dtype",
+                          None)
+            if mdt is not None:
+                images = images.astype(mdt)
         spx_flat = np.asarray(batch["spx"][0]).reshape(-1)
         spx_flat = spx_flat.astype(
             np.uint16 if spx_flat.max(initial=0) <= np.iinfo(np.uint16).max
@@ -230,7 +271,15 @@ class PseudoLabelGenerator:
             adj_packed=np.packbits(proto_adj, axis=-1, bitorder="little"),
             labels=labels,
         )
-        return {k: jax.device_put(v) for k, v in args.items()}
+        parts, layout, off = [], [], 0
+        for name, arr in args.items():
+            arr = np.ascontiguousarray(arr)
+            b = arr.view(np.uint8).reshape(-1)
+            layout.append((name, off, b.size, str(arr.dtype), arr.shape))
+            parts.append(b)
+            off += b.size
+        return {"buf": jax.device_put(np.concatenate(parts)),
+                "layout": tuple(layout)}
 
     def _forward(self, params, batch_stats, images):
         if self._sliding is not None:
@@ -344,11 +393,8 @@ class PseudoLabelGenerator:
             if fused and dev_args is not None:
                 spx_map = np.asarray(batch["spx"][0])
                 u8_dev, iou.cm = self._fused_step(
-                    params, batch_stats, dev_args["images"],
-                    dev_args["spx_flat"], dev_args["pv_packed"],
-                    dev_args["proto_sid"], dev_args["proto_cls"],
-                    dev_args["proto_valid"], dev_args["adj_packed"],
-                    dev_args["labels"], iou.cm)
+                    params, batch_stats, dev_args["buf"], iou.cm,
+                    layout=dev_args["layout"])
             else:
                 plbl, spx_map = self.plbl_for_batch(
                     params, batch_stats, batch, suppix, prep=prep)
@@ -416,7 +462,15 @@ class PseudoLabelGenerator:
         `prep` is an optional precomputed host_prep result (pipelining)."""
         cfg = self.cfg
         ptype = self.plbl_type
-        images = jnp.asarray(batch["images"])
+        images = np.asarray(batch["images"])
+        if images.dtype == np.uint8:
+            # emit_u8 loader feeding an unfused path (TTA, sliding,
+            # plusonehot, non-cosine types): normalize on host with the
+            # same LUT the loader would have used — bit-identical
+            from mulactseg_tpu.data.transforms import normalize
+
+            images = np.stack([normalize(im) for im in images])
+        images = jnp.asarray(images)
         spx_map = np.asarray(batch["spx"][0])
         spmask = np.asarray(batch["spmask"][0]).astype(bool)
         targets = np.asarray(batch["target"][0], np.float32)

@@ -152,6 +152,62 @@ def test_plbl_generator_fused_matches_unfused(tmp_path):
         np.testing.assert_array_equal(arr, results["unfused"][1][f])
 
 
+def test_plbl_generator_u8_wire_matches_float(tmp_path):
+    """EvalRegionDatasetAll(emit_u8=True) ships raw bytes; the generator
+    normalizes on device (fused) or host (unfused). Both must produce
+    byte-identical plbl maps to the classic host-normalized float path:
+    the device normalize is the same f32 arithmetic the host LUT
+    tabulates, and both round once to the backbone dtype."""
+    from mulactseg_tpu.data.transforms import normalize
+
+    cfg = Config(num_classes=5, nseg=16, val_batch_size=1,
+                 method="active_joint_multi_predignore_lossdecomp")
+    m, v = _init(num_classes=6, size=32)
+    ds = SyntheticRegionDataset(n_images=2, H=32, W=32, num_classes=5,
+                                nseg=16, split="active-label", seed=11)
+    rng = np.random.RandomState(0)
+    raw_u8 = [rng.randint(0, 256, (32, 32, 3)).astype(np.uint8)
+              for _ in range(len(ds))]
+
+    class EvalView:
+        def __init__(self, u8):
+            self.u8 = u8
+
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            s = ds[i]
+            gt = np.where(s["labels"] == 255, cfg.num_classes, s["labels"])
+            img = raw_u8[i] if self.u8 else normalize(raw_u8[i])
+            return {"images": img, "labels": gt, "spx": s["spx"],
+                    "spmask": s["spmask"], "target": s["target"],
+                    "fnames": s["fnames"]}
+
+    import os
+    results = {}
+    for mode in ("u8_fused", "u8_unfused", "float"):
+        loader = DataProvider(EvalView(mode.startswith("u8")), 1,
+                              shuffle=False, drop_last=False,
+                              infinite=False, num_workers=1)
+        gen = PseudoLabelGenerator(m, cfg, plbl_type="cosprop_includeonehot",
+                                   max_protos=64)
+        if mode == "u8_unfused":
+            gen._fused_step = None
+        save_dir = str(tmp_path / mode)
+        miou, *_ = gen.generate(v["params"], v["batch_stats"], loader,
+                                save_dir=save_dir, suppix=ds.suppix)
+        maps = {f: np.asarray(Image.open(os.path.join(save_dir, f)))
+                for f in sorted(os.listdir(save_dir))}
+        results[mode] = (miou, maps)
+
+    ref_miou, ref_maps = results["float"]
+    for mode in ("u8_fused", "u8_unfused"):
+        assert results[mode][0] == ref_miou, mode
+        for f, arr in ref_maps.items():
+            np.testing.assert_array_equal(arr, results[mode][1][f])
+
+
 def test_method_to_plbl_aliases_complete():
     """Every reference eval_save_* trainer module name resolves to a
     registered plbl type (trainer/ directory listing, SURVEY.md 2e)."""

@@ -137,7 +137,10 @@ def bench_plbl():
         tgt = (rng.rand(NSEG, C + 1) < 0.1).astype(np.float32)
         tgt[np.arange(NSEG), rng.randint(0, C + 1, NSEG)] = 1.0
         batches.append({
-            "images": rng.randn(1, H, W, 3).astype(np.float32),
+            # uint8 on the wire, as the production loader ships it
+            # (EvalRegionDatasetAll emit_u8=True); the fused step
+            # normalizes on device
+            "images": rng.randint(0, 256, (1, H, W, 3)).astype(np.uint8),
             "labels": rng.randint(0, C, (1, H, W)).astype(np.uint8),
             "target": tgt[None],
             "spx": spx[None],
