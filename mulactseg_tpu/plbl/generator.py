@@ -29,6 +29,7 @@ Type -> reference generator map:
 from __future__ import annotations
 
 import os
+import time
 from typing import Iterable, Optional
 
 import jax
@@ -349,18 +350,17 @@ class PseudoLabelGenerator:
             if cfg.save_vis:
                 os.makedirs(vis_dir, exist_ok=True)
 
-        # two-deep pipelined loop. Per image, IN DISPATCH ORDER (the
+        # three-thread pipelined loop. Per image, IN DISPATCH ORDER (the
         # tunnel executes dispatches FIFO, so ordering is the contract):
-        #   1. feat forward + plbl kernel (plbl_for_batch)
-        #   2. IoU confusion-matrix update + uint8 cast, straight off the
-        #      device-resident map (one dispatch; queuing it after the
-        #      NEXT image's forward would stall the fetch behind it)
-        #   3. next image's host-side adjacency on a worker thread
-        #   4. retire image i-1: fetch its (long-finished) uint8 map
-        #      (1 B/px down the tunnel) + PNG save — hides behind image
-        #      i's device compute.
+        #   1. [main] feat forward + plbl kernel + IoU update + uint8 cast
+        #      (ONE dispatch on the fused path)
+        #   2. [prep worker] next image's host adjacency + arg pack +
+        #      device_put
+        #   3. [retire worker] fetch image i's uint8 map (1 B/px down the
+        #      tunnel; blocks until its compute drains, GIL released) +
+        #      PNG save — overlaps the next image's host prep.
         # The reference's equivalent loop is fully serial per image
-        # (eval_save_cosplbl_prop.py:121-313).
+        # (eval_save_cosplbl_prop.py:236-305).
         from concurrent.futures import ThreadPoolExecutor
 
         def _retire(entry):
@@ -376,20 +376,37 @@ class PseudoLabelGenerator:
                                    os.path.join(vis_dir, f"{lbl_id}.png"))
 
         pool = ThreadPoolExecutor(max_workers=1)
+        # retire (device fetch + PNG encode) runs on its OWN single worker:
+        # the fetch blocks on the device pipeline drain (~200 ms/image on
+        # this tunnel) but holds no GIL while waiting, so it overlaps with
+        # the next image's host_prep instead of serializing after it on
+        # the main thread. One worker keeps per-image FIFO order.
+        retire_pool = ThreadPoolExecutor(max_workers=1)
+        retire_futs = []
         fused = self._fused_step is not None
+        timing = os.environ.get("MULACTSEG_PLBL_TIMING") == "1"
+        tacc = {"prep": 0.0, "args": 0.0, "dispatch": 0.0, "prep_wait": 0.0,
+                "retire": 0.0, "n": 0} if timing else None
 
         def _prep_one(b):
+            t0 = time.perf_counter() if timing else 0.0
             p = self.host_prep(b, suppix)
+            if timing:
+                tacc["prep"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
             if fused and p is not None:
-                return p, self._fused_args(b, p)
+                a = self._fused_args(b, p)
+                if timing:
+                    tacc["args"] += time.perf_counter() - t0
+                return p, a
             return p, None
 
         it = iter(loader)
         batch = next(it, None)
         prep, dev_args = _prep_one(batch) if batch is not None else (None,
                                                                      None)
-        inflight = None
         while batch is not None:
+            t0 = time.perf_counter() if timing else 0.0
             if fused and dev_args is not None:
                 spx_map = np.asarray(batch["spx"][0])
                 u8_dev, iou.cm = self._fused_step(
@@ -402,18 +419,37 @@ class PseudoLabelGenerator:
                 # device map pairs with the (1, H, W) host labels without
                 # an eager (= extra tunnel dispatch) reshape
                 u8_dev = iou._after_step_device_u8(plbl, batch["labels"])
+            if timing:
+                tacc["dispatch"] += time.perf_counter() - t0
+                tacc["n"] += 1
             nxt = next(it, None)
             prep_future = (pool.submit(_prep_one, nxt)
                            if nxt is not None else None)
-            if inflight is not None:
-                _retire(inflight)
-            inflight = (batch, u8_dev, spx_map)
+            if timing:
+                entry, t0 = (batch, u8_dev, spx_map), time.perf_counter()
+
+                def _timed(e=entry, t=t0):
+                    _retire(e)
+                    tacc["retire"] += time.perf_counter() - t
+                retire_futs.append(retire_pool.submit(_timed))
+            else:
+                retire_futs.append(
+                    retire_pool.submit(_retire, (batch, u8_dev, spx_map)))
             batch = nxt
+            t0 = time.perf_counter() if timing else 0.0
             prep, dev_args = (prep_future.result()
                               if prep_future is not None else (None, None))
-        if inflight is not None:
-            _retire(inflight)
+            if timing:
+                tacc["prep_wait"] += time.perf_counter() - t0
+        for f in retire_futs:
+            f.result()  # surface worker exceptions + ensure PNGs on disk
         pool.shutdown(wait=False)
+        retire_pool.shutdown(wait=False)
+        if timing and tacc["n"]:
+            n = tacc["n"]
+            print("plbl timing ms/img: " + "  ".join(
+                f"{k}={v * 1e3 / n:.1f}" for k, v in tacc.items()
+                if k != "n"), flush=True)
 
         ious, precs, recs = iou._after_epoch_ipr()
         miou = float(np.mean(ious))

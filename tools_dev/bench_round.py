@@ -125,11 +125,16 @@ def bench_plbl():
     gen = PseudoLabelGenerator(model, cfg,
                                plbl_type="cosprop_includeonehot")
 
+    # 8 images (vs N_IMAGES=4 for score): generate() is a 3-thread
+    # pipeline whose fill/drain edges (~0.45 s) would skew a 4-image
+    # run by ~25%; a real round streams 2975 images, so the sustained
+    # rate is the honest number
+    n_images = int(os.environ.get("PLBL_N", "8"))
     rng = np.random.RandomState(0)
     print("# building fixture...", file=sys.stderr, flush=True)
     base_spx = [irregular_superpixels(H, W, NSEG, rng) for _ in range(2)]
     batches = []
-    for i in range(N_IMAGES):
+    for i in range(n_images):
         spx = base_spx[i % 2]
         sel = np.nonzero(rng.rand(NSEG) < 0.3)[0]
         spmask = np.isin(spx, sel)
@@ -159,7 +164,7 @@ def bench_plbl():
     t0 = time.perf_counter()
     gen.generate(state.params, state.batch_stats, batches, suppix=suppix)
     dt = time.perf_counter() - t0
-    img_per_s = N_IMAGES / dt
+    img_per_s = n_images / dt
     print(json.dumps({"metric": "cosprop_plbl_throughput",
                       "value": round(img_per_s, 3),
                       "unit": "images/sec/chip (1024x2048)"}))
