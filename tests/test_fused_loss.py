@@ -47,6 +47,7 @@ def test_bit_packers_agree():
     np.testing.assert_array_equal(mh, want)
 
 
+@pytest.mark.slow
 def test_lossdecomp_fused_matches_composed():
     logits, target, spx, spmask, bits, S = _case()
     kw = dict(nseg=S, coeff=16.0, coeff_mc=8.0, coeff_gm=1.0,
