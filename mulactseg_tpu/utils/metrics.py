@@ -62,7 +62,24 @@ class MeanIoU:
 
     def _before_epoch(self):
         self.cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)
+        self.cm_host = np.zeros((self.num_classes, self.num_classes),
+                                np.int64)
         self.extra_positive = np.zeros(self.num_classes, np.float64)
+
+    def _after_step_host(self, preds, targets):
+        """Numpy twin of confusion_matrix for loops where the prediction
+        map has ALREADY been fetched to host (the plbl generator fetches
+        every map to save PNGs): accumulating here instead of on device
+        removes the GT upload (2.1 MB/image at 1024x2048) from the wire.
+        Bit-exact vs the device path: a pixel contributes iff its GT is a
+        real class != ignore AND its prediction is in [0, C) — the einsum
+        drops out-of-range one-hots the same way."""
+        C = self.num_classes
+        p = np.asarray(preds).reshape(-1).astype(np.int64)
+        t = np.asarray(targets).reshape(-1).astype(np.int64)
+        m = (t != self.ignore_label) & (t >= 0) & (t < C) & (p >= 0) & (p < C)
+        self.cm_host = self.cm_host + np.bincount(
+            t[m] * C + p[m], minlength=C * C).reshape(C, C)
 
     def _after_step(self, output_dict):
         preds = output_dict[self.output_tensor]
@@ -109,7 +126,8 @@ class MeanIoU:
 
     # -- host-side summaries ------------------------------------------------
     def _marginals(self):
-        cm = np.asarray(self.cm, dtype=np.float64)
+        cm = np.asarray(self.cm, dtype=np.float64) + getattr(
+            self, "cm_host", 0)
         seen = cm.sum(1)
         positive = cm.sum(0) + getattr(self, "extra_positive", 0)
         correct = np.diag(cm)
