@@ -50,6 +50,65 @@ from mulactseg_tpu.plbl.simple import (
 )
 from mulactseg_tpu.utils.metrics import MeanIoU
 
+def _unpack_bits(packed, n):
+    # inverse of np.packbits(..., bitorder="little"): (..., ceil(n/8))
+    # uint8 -> (..., n) bool, done on device so the tunnel carries
+    # 1 bit/element instead of 1 byte
+    bits = (packed[..., None] >>
+            jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1], -1)[..., :n].astype(bool)
+
+
+def _pack_spx12(ids: np.ndarray) -> np.ndarray:
+    """2 superpixel ids per 3 bytes (ids < 4096, i.e. nseg <= 4096): the
+    id stream is the second-largest wire item (4.2 MB as u16 at
+    1024x2048) and the tunnel moves ~42 MB/s, so the 12-bit pack buys
+    ~25 ms/image. Odd-length streams are padded with one zero id; the
+    decoder slices back to the true element count. Inverse of the
+    "spx12" branch in _decode_buf (round-trip pinned by
+    tests/test_eval_paths.py::test_spx12_roundtrip)."""
+    assert ids.max(initial=0) < 4096, "spx12 pack needs ids < 4096"
+    v = ids.astype(np.uint32).reshape(-1)
+    if v.size % 2:
+        v = np.append(v, np.uint32(0))
+    pair = v.reshape(-1, 2)
+    b = np.empty((pair.shape[0], 3), np.uint8)
+    b[:, 0] = pair[:, 0] & 0xFF
+    b[:, 1] = ((pair[:, 0] >> 8) & 0xF) | ((pair[:, 1] & 0xF) << 4)
+    b[:, 2] = pair[:, 1] >> 4
+    return b.reshape(-1)
+
+
+def _decode_buf(buf, layout):
+    """Device-side unpacking of the one-buffer argument pack produced by
+    PseudoLabelGenerator._fused_args: a few fused slice/bitcast ops per
+    entry. `layout` is the static tuple of (name, offset, nbytes,
+    dtype-string, shape) descriptors."""
+    out = {}
+    for name, off, nbytes, dtype, shape in layout:
+        seg = buf[off:off + nbytes]
+        n_elem = int(np.prod(shape))
+        if dtype == "spx12":
+            b = seg.reshape(-1, 3).astype(jnp.int32)
+            v0 = b[:, 0] | ((b[:, 1] & 0xF) << 8)
+            v1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
+            vals = jnp.stack([v0, v1], axis=-1).reshape(-1)
+            out[name] = vals[:n_elem].reshape(shape)  # drop odd-pad id
+            continue
+        dt = jnp.dtype(jnp.bfloat16 if dtype == "bfloat16" else dtype)
+        if dt.itemsize == 1:
+            x = seg.astype(dt) if dtype == "bool" else seg
+        else:
+            # raw little-endian bytes -> dt (matches the host's
+            # ndarray.view(uint8) byte order; TPU/XLA bitcast of
+            # (n, k) uint8 -> (n,) k-byte values is little-endian,
+            # pinned by test_plbl_generator_u8_wire_matches_float)
+            x = jax.lax.bitcast_convert_type(
+                seg.reshape(-1, dt.itemsize), dt)
+        out[name] = x.reshape(shape)
+    return out
+
+
 # types whose core is the cosine-prototype machinery
 _COS_TYPES = {
     # name: (include_onehot, propagate, filter_within, filter_prop)
@@ -137,8 +196,10 @@ class PseudoLabelGenerator:
 
     def _build_fused(self):
         """One-dispatch per-image executable for the cosine types: forward
-        -> softmax -> cosine_prototype_plbl -> confusion-matrix update ->
-        uint8 cast. On this tunnel each dispatch costs ~75 ms and chained
+        -> softmax -> cosine_prototype_plbl -> uint8 cast (the confusion
+        matrix accumulates on the host in _retire from the fetched map, so
+        the GT never rides the wire). On this tunnel each dispatch costs
+        ~75 ms and chained
         dispatches do not pipeline, so folding the ~6-op eager chain of
         plbl_for_batch + MeanIoU into one jit removes ~0.4 s/image of pure
         latency (the reference pays none of this — its per-image cost is
@@ -162,44 +223,8 @@ class PseudoLabelGenerator:
         sim_bf16 = cfg.dtype == "bfloat16"
         ce_temp, plbl_th = cfg.ce_temp, cfg.plbl_th
 
-        def _unpack_bits(packed, n):
-            # inverse of np.packbits(..., bitorder="little"): (..., ceil(n/8))
-            # uint8 -> (..., n) bool, done on device so the tunnel carries
-            # 1 bit/element instead of 1 byte
-            bits = (packed[..., None] >>
-                    jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
-            return bits.reshape(*packed.shape[:-1], -1)[..., :n].astype(bool)
-
-        def _decode(buf, layout):
-            out = {}
-            for name, off, nbytes, dtype, shape in layout:
-                seg = buf[off:off + nbytes]
-                if dtype == "spx12":
-                    # 2 superpixel ids per 3 bytes (ids < 4096): the id
-                    # stream is the second-largest wire item (4.2 MB as
-                    # u16 at 1024x2048) and the tunnel moves ~42 MB/s, so
-                    # the 12-bit pack buys ~25 ms/image
-                    b = seg.reshape(-1, 3).astype(jnp.int32)
-                    v0 = b[:, 0] | ((b[:, 1] & 0xF) << 8)
-                    v1 = (b[:, 1] >> 4) | (b[:, 2] << 4)
-                    out[name] = jnp.stack([v0, v1], axis=-1).reshape(shape)
-                    continue
-                dt = jnp.dtype(jnp.bfloat16 if dtype == "bfloat16"
-                               else dtype)
-                if dt.itemsize == 1:
-                    x = seg.astype(dt) if dtype == "bool" else seg
-                else:
-                    # raw little-endian bytes -> dt (matches the host's
-                    # ndarray.view(uint8) byte order; TPU/XLA bitcast of
-                    # (n, k) uint8 -> (n,) k-byte values is little-endian,
-                    # pinned by test_plbl_generator_u8_wire_matches_float)
-                    x = jax.lax.bitcast_convert_type(
-                        seg.reshape(-1, dt.itemsize), dt)
-                out[name] = x.reshape(shape)
-            return out
-
         def fused(params, batch_stats, buf, *, layout):
-            a = _decode(buf, layout)
+            a = _decode_buf(buf, layout)
             images = a["images"]
             if images.dtype == jnp.uint8:
                 # loader shipped the raw bytes (EvalRegionDatasetAll
@@ -262,29 +287,31 @@ class PseudoLabelGenerator:
             if mdt is not None:
                 images = images.astype(mdt)
         spx_flat = np.asarray(batch["spx"][0]).reshape(-1)
-        spx_flat = spx_flat.astype(
-            np.uint16 if spx_flat.max(initial=0) <= np.iinfo(np.uint16).max
-            else np.int32)
-        labels = np.asarray(batch["labels"])
-        if labels.dtype != np.uint8 and labels.size and \
-                labels.min() >= 0 and labels.max() <= 255:
-            # real loaders emit int32 GT; trainIds (+ ignore 255) fit u8,
-            # so ship 1 B/px instead of 4 — the confusion matrix only
-            # compares integer values
-            labels = labels.astype(np.uint8)
+        spx12 = spx_flat.max(initial=0) < 4096  # nseg <= 4096 (city 2048)
+        if not spx12:
+            spx_flat = spx_flat.astype(
+                np.uint16
+                if spx_flat.max(initial=0) <= np.iinfo(np.uint16).max
+                else np.int32)
+        # GT labels stay on the HOST: the fused step no longer accumulates
+        # the confusion matrix (MeanIoU._after_step_host runs in _retire on
+        # the already-fetched map), so the 2.1 MB/image GT upload is gone
+        # from a wire measured at ~42 MB/s up.
         args = dict(
             images=images, spx_flat=spx_flat,
             pv_packed=np.packbits(pixel_valid, bitorder="little"),
             proto_sid=proto_sid, proto_cls=proto_cls,
             proto_valid=proto_valid,
             adj_packed=np.packbits(proto_adj, axis=-1, bitorder="little"),
-            labels=labels,
         )
         parts, layout, off = [], [], 0
         for name, arr in args.items():
-            arr = np.ascontiguousarray(arr)
-            b = arr.view(np.uint8).reshape(-1)
-            layout.append((name, off, b.size, str(arr.dtype), arr.shape))
+            if name == "spx_flat" and spx12:
+                b, dt = _pack_spx12(arr), "spx12"
+            else:
+                arr = np.ascontiguousarray(arr)
+                b, dt = arr.view(np.uint8).reshape(-1), str(arr.dtype)
+            layout.append((name, off, b.size, dt, arr.shape))
             parts.append(b)
             off += b.size
         return {"buf": jax.device_put(np.concatenate(parts)),
@@ -372,8 +399,15 @@ class PseudoLabelGenerator:
         from concurrent.futures import ThreadPoolExecutor
 
         def _retire(entry):
-            batch, u8_dev, spx_map = entry
+            batch, u8_dev, spx_map, acc_host = entry
             plbl_np = np.asarray(u8_dev)
+            if acc_host:
+                # fused path: the confusion matrix accumulates on the HOST
+                # from the map that is fetched anyway for PNG saving — the
+                # GT never rides the tunnel. The single retire worker keeps
+                # accumulation ordered; generate() joins all retire futures
+                # before reading the totals.
+                iou._after_step_host(plbl_np, batch["labels"])
             if save_dir:
                 lbl_id = os.path.basename(
                     batch["fnames"][0][1]).split(".")[0]
@@ -415,10 +449,11 @@ class PseudoLabelGenerator:
                                                                      None)
         while batch is not None:
             t0 = time.perf_counter() if timing else 0.0
-            if fused and dev_args is not None:
+            acc_host = fused and dev_args is not None
+            if acc_host:
                 spx_map = np.asarray(batch["spx"][0])
-                u8_dev, iou.cm = self._fused_step(
-                    params, batch_stats, dev_args["buf"], iou.cm,
+                u8_dev = self._fused_step(
+                    params, batch_stats, dev_args["buf"],
                     layout=dev_args["layout"])
             else:
                 plbl, spx_map = self.plbl_for_batch(
@@ -434,15 +469,16 @@ class PseudoLabelGenerator:
             prep_future = (pool.submit(_prep_one, nxt)
                            if nxt is not None else None)
             if timing:
-                entry, t0 = (batch, u8_dev, spx_map), time.perf_counter()
+                entry = (batch, u8_dev, spx_map, acc_host)
+                t0 = time.perf_counter()
 
                 def _timed(e=entry, t=t0):
                     _retire(e)
                     tacc["retire"] += time.perf_counter() - t
                 retire_futs.append(retire_pool.submit(_timed))
             else:
-                retire_futs.append(
-                    retire_pool.submit(_retire, (batch, u8_dev, spx_map)))
+                retire_futs.append(retire_pool.submit(
+                    _retire, (batch, u8_dev, spx_map, acc_host)))
             batch = nxt
             t0 = time.perf_counter() if timing else 0.0
             prep, dev_args = (prep_future.result()

@@ -208,6 +208,45 @@ def test_plbl_generator_u8_wire_matches_float(tmp_path):
             np.testing.assert_array_equal(arr, results[mode][1][f])
 
 
+def test_spx12_roundtrip():
+    """_pack_spx12 (host) and the "spx12" branch of _decode_buf (device)
+    are exact inverses, including the odd-element-count pad, for ids up
+    to the 4095 guard."""
+    from mulactseg_tpu.plbl.generator import _decode_buf, _pack_spx12
+
+    rng = np.random.RandomState(0)
+    for n in (6, 7, 1, 4096):
+        ids = rng.randint(0, 4096, size=n).astype(np.int32)
+        b = _pack_spx12(ids)
+        assert b.dtype == np.uint8 and b.size == ((n + 1) // 2) * 3
+        layout = (("spx_flat", 0, b.size, "spx12", (n,)),)
+        out = jax.jit(_decode_buf, static_argnames=("layout",))(
+            jnp.asarray(b), layout=layout)
+        np.testing.assert_array_equal(np.asarray(out["spx_flat"]), ids)
+
+
+def test_fused_wire_has_no_labels():
+    """ADVICE r04: the fused arg pack must NOT ship the GT (the host CM
+    accumulates from the fetched map instead), and superpixel ids < 4096
+    ride the 12-bit codec."""
+    cfg = Config(num_classes=5, nseg=16, val_batch_size=1,
+                 method="active_joint_multi_predignore_lossdecomp")
+    m, _ = _init(num_classes=6, size=32)
+    ds = SyntheticRegionDataset(n_images=1, H=32, W=32, num_classes=5,
+                                nseg=16, split="active-label", seed=5)
+    s = ds[0]
+    batch = {k: (np.asarray(v)[None] if k != "fnames" else [v])
+             for k, v in s.items()}
+    gen = PseudoLabelGenerator(m, cfg, plbl_type="cosprop_includeonehot",
+                               max_protos=64)
+    prep = gen.host_prep(batch, ds.suppix)
+    dev_args = gen._fused_args(batch, prep)
+    names = {e[0] for e in dev_args["layout"]}
+    assert "labels" not in names
+    spx_entry = [e for e in dev_args["layout"] if e[0] == "spx_flat"][0]
+    assert spx_entry[3] == "spx12"
+
+
 def test_method_to_plbl_aliases_complete():
     """Every reference eval_save_* trainer module name resolves to a
     registered plbl type (trainer/ directory listing, SURVEY.md 2e)."""
