@@ -537,9 +537,12 @@ def _ssm_bwd(num_segments, res, cts):
     coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
     tgt = jnp.where(live, safe, P)  # dead entries -> OOB, dropped
     # element indices are unique (a pixel belongs to one segment, one
-    # entry per class); OOB drop avoids a (P+1)-row buffer + slice copy
-    dl_elem = jnp.zeros((P * C,), jnp.float32).at[tgt * C + cls].add(
-        coef, mode="drop", unique_indices=True).reshape(P, C)
+    # entry per class); OOB drop avoids a (P+1)-row buffer + slice copy.
+    # 2-D scatter, not flat-(P*C,)-then-reshape: the flat buffer's
+    # relayout to (P, C) tiling lowers as a serial DUS copy loop on TPU
+    # (see _ssm_nchw_bwd).
+    dl_elem = jnp.zeros((P, C), jnp.float32).at[tgt, cls].add(
+        coef, mode="drop", unique_indices=True)
     # w as the row-sum of dl_elem, not a second scatter: the pixel-index
     # scatter has DUPLICATE targets (several classes of a segment can
     # share an argmax pixel) and lowers to a serial loop on TPU (~5.6
@@ -791,9 +794,15 @@ def _ssm_nchw_bwd(num_segments, temp, res, cts):
     coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
     b = safe // HW
     hw = safe % HW
-    nchw_idx = (b * C + cls) * HW + hw
-    tgt = jnp.where(live, nchw_idx, B * C * HW)  # dead -> OOB, dropped
-    dl_elem = jnp.zeros((B * C * HW,), jnp.float32).at[tgt].add(
+    # 2-D scatter into (B*C, HW), NOT a flat (B*C*HW,) buffer: the flat
+    # form's reshape back to (B, C, HW) crosses tilings (T(1024) ->
+    # T(8,128)) and XLA lowers it as an 80-iteration dynamic-slice +
+    # dynamic-update-slice copy loop — 10.5 ms/step of pure relayout in
+    # the round-4 trace (while.13 + dynamic-update-slice.22). From
+    # (B*C, HW) the reshape only splits the major axis, so it is a
+    # bitcast.
+    row = jnp.where(live, b * C + cls, B * C)  # dead -> OOB, dropped
+    dl_elem = jnp.zeros((B * C, HW), jnp.float32).at[row, hw].add(
         coef, mode="drop", unique_indices=True).reshape(B, C, HW)
     # w[p] = sum_c coef at p's entries == class-sum of dl_elem. A direct
     # scatter of coef at pixel indices has DUPLICATES (several classes of
