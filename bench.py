@@ -15,11 +15,18 @@ per-dispatch latency and a non-blocking block_until_ready, so the bench
 the device-side lax.scan loop (engine/train.py make_train_step_scan) and
 forces a scalar fetch to time real completion.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the HEADLINE (stage-1 Cityscapes
+throughput) is the LAST line, which is what the driver records. Before
+it, secondary rows (VOC stage-1, Cityscapes stage-2, cosprop plbl) run
+as subprocesses with individual timeouts so a cold compile on one can
+never eat the headline; set MULACTSEG_BENCH_HEADLINE_ONLY=1 to skip
+them in dev loops.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
@@ -49,6 +56,38 @@ NUM_CLASSES = 19  # +1 undefined
 # dispatch, so K amortizes a real production knob (steps_per_dispatch);
 # K=32 puts the residual dispatch overhead at ~2 ms/step
 K = 32
+
+
+# (secondary bench, per-bench subprocess timeout seconds) — warm runs are
+# 1-3 min each; cold compiles can exceed the budget, in which case the row
+# reports null and the headline still prints (the persistent compile cache
+# makes the next invocation warm)
+SECONDARY = [
+    ("voc_stage1", [sys.executable, "tools_dev/bench_voc.py"], 900),
+    ("cityscapes_stage2", [sys.executable, "tools_dev/bench_stage2.py"], 900),
+    ("cosprop_plbl", [sys.executable, "tools_dev/bench_round.py", "plbl"],
+     1200),
+]
+
+
+def run_secondary():
+    root = os.path.dirname(os.path.abspath(__file__))
+    for name, cmd, budget in SECONDARY:
+        try:
+            out = subprocess.run(
+                cmd, cwd=root, timeout=budget, capture_output=True,
+                text=True).stdout
+            rows = [ln for ln in out.splitlines() if ln.startswith("{")]
+            if not rows:
+                raise RuntimeError("no JSON row")
+            for ln in rows:
+                print(ln, flush=True)
+        except Exception as e:  # timeout / crash: report, keep going
+            kind = type(e).__name__
+            print(json.dumps({"metric": name, "value": None,
+                              "unit": "images/sec/chip",
+                              "note": f"secondary bench failed: {kind}"}),
+                  flush=True)
 
 
 def main():
@@ -135,4 +174,6 @@ def main():
 
 
 if __name__ == "__main__":
+    if os.environ.get("MULACTSEG_BENCH_HEADLINE_ONLY", "0") != "1":
+        run_secondary()
     main()

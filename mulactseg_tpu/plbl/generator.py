@@ -159,7 +159,8 @@ METHOD_TO_PLBL = {
 
 class PseudoLabelGenerator:
     def __init__(self, model, cfg, plbl_type: str = "cosprop_includeonehot",
-                 use_tta: bool = False, max_protos: int = 1024):
+                 use_tta: bool = False, max_protos: int = 1024,
+                 fused_batch: Optional[int] = None):
         if plbl_type not in PLBL_TYPES:
             raise KeyError(f"unknown plbl type {plbl_type!r}; have {PLBL_TYPES}")
         self.model = model
@@ -167,6 +168,15 @@ class PseudoLabelGenerator:
         self.plbl_type = plbl_type
         self.use_tta = use_tta
         self.max_protos = max_protos
+        # images per fused dispatch: the ~75 ms dispatch latency of this
+        # tunnel amortizes over the group, and the B-image forward keeps
+        # the MXU busier than two B=1 forwards. 2 is the HBM-safe default
+        # at 1024x2048 (two bf16 full-res feature tensors + the next
+        # group's arg buffer in flight); the odd tail of a round runs as
+        # one B=1 dispatch (its own cached executable).
+        self.fused_batch = int(
+            fused_batch if fused_batch is not None
+            else os.environ.get("MULACTSEG_PLBL_BATCH", "2"))
         # bf16 feature hand-off when the network computes in bf16 anyway:
         # the full-res upsample writes half the bytes and the cosine
         # kernel's bf16 scan reads them directly. Applied to BOTH the
@@ -225,7 +235,7 @@ class PseudoLabelGenerator:
 
         def fused(params, batch_stats, buf, *, layout):
             a = _decode_buf(buf, layout)
-            images = a["images"]
+            images = a["images"]  # (B, H, W, 3)
             if images.dtype == jnp.uint8:
                 # loader shipped the raw bytes (EvalRegionDatasetAll
                 # emit_u8): normalize here — same f32 ops the host LUT
@@ -236,25 +246,34 @@ class PseudoLabelGenerator:
             feat, logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, images,
                 train=False, return_feat=True, feat_bf16=sim_bf16)
-            probs = jax.nn.softmax(logits[0].astype(jnp.float32), axis=-1)
-            H, W = images.shape[1:3]
-            pixel_valid = _unpack_bits(a["pv_packed"], H * W)
-            proto_adj = _unpack_bits(a["adj_packed"], nseg)
-            plbl = cosine_prototype_plbl(
-                feat[0].reshape(-1, feat.shape[-1]),
-                probs.reshape(-1, probs.shape[-1]),
-                a["spx_flat"].astype(jnp.int32), pixel_valid,
-                a["proto_sid"], a["proto_cls"], a["proto_valid"],
-                proto_adj, nseg=nseg, threshold_median=thr_med,
-                propagate=propagate, filter_within_by_pred=filt_within,
-                filter_prop_by_pred=filt_prop, sim_bf16=sim_bf16,
-            ).reshape(H, W)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            B, H, W = images.shape[:3]
+            pixel_valid = _unpack_bits(a["pv_packed"], H * W)  # (B, P)
+            proto_adj = _unpack_bits(a["adj_packed"], nseg)  # (B, NP, S)
+
+            def kernel(f, pr, sx, pv, ps, pc, pvd, pa):
+                return cosine_prototype_plbl(
+                    f, pr, sx, pv, ps, pc, pvd, pa, nseg=nseg,
+                    threshold_median=thr_med, propagate=propagate,
+                    filter_within_by_pred=filt_within,
+                    filter_prop_by_pred=filt_prop, sim_bf16=sim_bf16)
+
+            # vmap over the group: every operand carries a leading B dim
+            # (the arg pack stacks per-image tables; they are fixed-size,
+            # so no padding is needed beyond what B=1 already paid)
+            plbl = jax.vmap(kernel)(
+                feat.reshape(B, -1, feat.shape[-1]),
+                probs.reshape(B, -1, probs.shape[-1]),
+                a["spx_flat"].reshape(B, -1).astype(jnp.int32),
+                pixel_valid, a["proto_sid"], a["proto_cls"],
+                a["proto_valid"], proto_adj).reshape(B, H, W)
             if ptype == "cos_naiveprop":
                 # include_onehot=True for this type, so pixel_valid IS the
                 # flat spmask
-                plbl = naive_threshold_fill(
-                    plbl, logits[0], pixel_valid.reshape(H, W),
-                    temp=ce_temp, plbl_th=plbl_th)
+                plbl = jax.vmap(
+                    lambda pl, lg, pv: naive_threshold_fill(
+                        pl, lg, pv, temp=ce_temp, plbl_th=plbl_th))(
+                    plbl, logits, pixel_valid.reshape(B, H, W))
             # the confusion matrix moved to the HOST (MeanIoU.
             # _after_step_host): the plbl map is fetched anyway (PNG
             # saving), so accumulating there removes the GT upload
@@ -263,18 +282,19 @@ class PseudoLabelGenerator:
 
         return jax.jit(fused, static_argnames=("layout",))
 
-    def _fused_args(self, batch, prep):
-        """Host-side packing of one image's fused-step arguments into one
+    def _fused_args(self, batches, preps):
+        """Host-side packing of one GROUP's fused-step arguments into one
         flat uint8 buffer, sized for the tunnel (~95 MB/s host->device,
         serialized with compute, per-array latency): images as raw uint8
         when the loader shipped bytes (else the network dtype), spx as
-        uint16 when nseg allows, GT as uint8 when it fits, the two dense
-        boolean masks bit-packed (8x). ~40 MB/image -> ~13 MB in ONE
-        device_put. Runs on generate()'s prep worker thread. Returns
-        {"buf": device array, "layout": static slice descriptor}."""
-        (_tg, _sm, proto_sid, proto_cls, proto_valid, proto_adj,
-         pixel_valid) = prep
-        images = np.asarray(batch["images"])
+        uint16 when nseg allows, the two dense boolean masks bit-packed
+        (8x). ~40 MB/image -> ~13 MB, one device_put per group. Every
+        entry carries a leading B dim (B = len(batches), the fused_batch
+        group size; the round's odd tail produces a B=1 pack with its own
+        layout, hence its own cached executable). Runs on generate()'s
+        prep worker thread. Returns {"buf": device array, "layout":
+        static slice descriptor}."""
+        images = np.stack([np.asarray(b["images"])[0] for b in batches])
         if images.dtype != np.uint8:
             # pre-cast to the BACKBONE's compute dtype (its first op is
             # x.astype(dtype), so the host cast is bit-identical and
@@ -286,7 +306,8 @@ class PseudoLabelGenerator:
                           None)
             if mdt is not None:
                 images = images.astype(mdt)
-        spx_flat = np.asarray(batch["spx"][0]).reshape(-1)
+        spx_flat = np.stack([np.asarray(b["spx"][0]).reshape(-1)
+                             for b in batches])
         spx12 = spx_flat.max(initial=0) < 4096  # nseg <= 4096 (city 2048)
         if not spx12:
             spx_flat = spx_flat.astype(
@@ -299,10 +320,14 @@ class PseudoLabelGenerator:
         # from a wire measured at ~42 MB/s up.
         args = dict(
             images=images, spx_flat=spx_flat,
-            pv_packed=np.packbits(pixel_valid, bitorder="little"),
-            proto_sid=proto_sid, proto_cls=proto_cls,
-            proto_valid=proto_valid,
-            adj_packed=np.packbits(proto_adj, axis=-1, bitorder="little"),
+            pv_packed=np.stack([np.packbits(p[6], bitorder="little")
+                                for p in preps]),
+            proto_sid=np.stack([p[2] for p in preps]),
+            proto_cls=np.stack([p[3] for p in preps]),
+            proto_valid=np.stack([p[4] for p in preps]),
+            adj_packed=np.stack([
+                np.packbits(p[5], axis=-1, bitorder="little")
+                for p in preps]),
         )
         parts, layout, off = [], [], 0
         for name, arr in args.items():
@@ -385,91 +410,109 @@ class PseudoLabelGenerator:
             if cfg.save_vis:
                 os.makedirs(vis_dir, exist_ok=True)
 
-        # three-thread pipelined loop. Per image, IN DISPATCH ORDER (the
+        # three-thread pipelined loop over GROUPS of fused_batch images
+        # (1 on the unfused paths). Per group, IN DISPATCH ORDER (the
         # tunnel executes dispatches FIFO, so ordering is the contract):
-        #   1. [main] feat forward + plbl kernel + IoU update + uint8 cast
-        #      (ONE dispatch on the fused path)
-        #   2. [prep worker] next image's host adjacency + arg pack +
+        #   1. [main] feat forward + plbl kernel + uint8 cast for the
+        #      whole group (ONE dispatch on the fused path — the ~75 ms
+        #      dispatch latency amortizes over the group)
+        #   2. [prep worker] next group's host adjacency + arg pack +
         #      device_put
-        #   3. [retire worker] fetch image i's uint8 map (1 B/px down the
-        #      tunnel; blocks until its compute drains, GIL released) +
-        #      PNG save — overlaps the next image's host prep.
+        #   3. [retire worker] fetch group i's uint8 maps (1 B/px down
+        #      the tunnel; blocks until its compute drains, GIL released)
+        #      + host CM + PNG save — overlaps the next group's prep.
         # The reference's equivalent loop is fully serial per image
         # (eval_save_cosplbl_prop.py:236-305).
         from concurrent.futures import ThreadPoolExecutor
 
         def _retire(entry):
-            batch, u8_dev, spx_map, acc_host = entry
-            plbl_np = np.asarray(u8_dev)
-            if acc_host:
-                # fused path: the confusion matrix accumulates on the HOST
-                # from the map that is fetched anyway for PNG saving — the
-                # GT never rides the tunnel. The single retire worker keeps
-                # accumulation ordered; generate() joins all retire futures
-                # before reading the totals.
-                iou._after_step_host(plbl_np, batch["labels"])
-            if save_dir:
-                lbl_id = os.path.basename(
-                    batch["fnames"][0][1]).split(".")[0]
-                Image.fromarray(plbl_np).save(
-                    os.path.join(save_dir, f"{lbl_id}.png"))
-                if cfg.save_vis:
-                    self._save_vis(plbl_np, spx_map,
-                                   os.path.join(vis_dir, f"{lbl_id}.png"))
+            group, u8_dev, spx_maps, acc_host = entry
+            maps = np.asarray(u8_dev)
+            if maps.ndim == 2:
+                maps = maps[None]
+            for batch, plbl_np, spx_map in zip(group, maps, spx_maps):
+                if acc_host:
+                    # fused path: the confusion matrix accumulates on the
+                    # HOST from the map that is fetched anyway for PNG
+                    # saving — the GT never rides the tunnel. The single
+                    # retire worker keeps accumulation ordered; generate()
+                    # joins all retire futures before reading the totals.
+                    iou._after_step_host(plbl_np, batch["labels"])
+                if save_dir:
+                    lbl_id = os.path.basename(
+                        batch["fnames"][0][1]).split(".")[0]
+                    Image.fromarray(plbl_np).save(
+                        os.path.join(save_dir, f"{lbl_id}.png"))
+                    if cfg.save_vis:
+                        self._save_vis(plbl_np, spx_map,
+                                       os.path.join(vis_dir,
+                                                    f"{lbl_id}.png"))
 
         pool = ThreadPoolExecutor(max_workers=1)
         # retire (device fetch + PNG encode) runs on its OWN single worker:
         # the fetch blocks on the device pipeline drain (~200 ms/image on
         # this tunnel) but holds no GIL while waiting, so it overlaps with
-        # the next image's host_prep instead of serializing after it on
-        # the main thread. One worker keeps per-image FIFO order.
+        # the next group's host_prep instead of serializing after it on
+        # the main thread. One worker keeps per-group FIFO order.
         retire_pool = ThreadPoolExecutor(max_workers=1)
         retire_futs = []
         fused = self._fused_step is not None
+        gsize = max(1, self.fused_batch) if fused else 1
         timing = os.environ.get("MULACTSEG_PLBL_TIMING") == "1"
         tacc = {"prep": 0.0, "args": 0.0, "dispatch": 0.0, "prep_wait": 0.0,
                 "retire": 0.0, "n": 0} if timing else None
 
-        def _prep_one(b):
+        def _next_group(it):
+            g = []
+            while len(g) < gsize:
+                b = next(it, None)
+                if b is None:
+                    break
+                g.append(b)
+            return g or None
+
+        def _prep_group(g):
             t0 = time.perf_counter() if timing else 0.0
-            p = self.host_prep(b, suppix)
+            ps = [self.host_prep(b, suppix) for b in g]
             if timing:
                 tacc["prep"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
-            if fused and p is not None:
-                a = self._fused_args(b, p)
+            if fused and all(p is not None for p in ps):
+                a = self._fused_args(g, ps)
                 if timing:
                     tacc["args"] += time.perf_counter() - t0
-                return p, a
-            return p, None
+                return ps, a
+            return ps, None
 
         it = iter(loader)
-        batch = next(it, None)
-        prep, dev_args = _prep_one(batch) if batch is not None else (None,
-                                                                     None)
-        while batch is not None:
+        group = _next_group(it)
+        preps, dev_args = _prep_group(group) if group is not None else (
+            None, None)
+        while group is not None:
             t0 = time.perf_counter() if timing else 0.0
             acc_host = fused and dev_args is not None
             if acc_host:
-                spx_map = np.asarray(batch["spx"][0])
+                spx_maps = [np.asarray(b["spx"][0]) for b in group]
                 u8_dev = self._fused_step(
                     params, batch_stats, dev_args["buf"],
                     layout=dev_args["layout"])
             else:
+                batch = group[0]
                 plbl, spx_map = self.plbl_for_batch(
-                    params, batch_stats, batch, suppix, prep=prep)
+                    params, batch_stats, batch, suppix, prep=preps[0])
                 # confusion_matrix flattens both sides, so the (H, W)
                 # device map pairs with the (1, H, W) host labels without
                 # an eager (= extra tunnel dispatch) reshape
                 u8_dev = iou._after_step_device_u8(plbl, batch["labels"])
+                spx_maps = [spx_map]
             if timing:
                 tacc["dispatch"] += time.perf_counter() - t0
-                tacc["n"] += 1
-            nxt = next(it, None)
-            prep_future = (pool.submit(_prep_one, nxt)
+                tacc["n"] += len(group)
+            nxt = _next_group(it)
+            prep_future = (pool.submit(_prep_group, nxt)
                            if nxt is not None else None)
             if timing:
-                entry = (batch, u8_dev, spx_map, acc_host)
+                entry = (group, u8_dev, spx_maps, acc_host)
                 t0 = time.perf_counter()
 
                 def _timed(e=entry, t=t0):
@@ -478,11 +521,11 @@ class PseudoLabelGenerator:
                 retire_futs.append(retire_pool.submit(_timed))
             else:
                 retire_futs.append(retire_pool.submit(
-                    _retire, (batch, u8_dev, spx_map, acc_host)))
-            batch = nxt
+                    _retire, (group, u8_dev, spx_maps, acc_host)))
+            group = nxt
             t0 = time.perf_counter() if timing else 0.0
-            prep, dev_args = (prep_future.result()
-                              if prep_future is not None else (None, None))
+            preps, dev_args = (prep_future.result()
+                               if prep_future is not None else (None, None))
             if timing:
                 tacc["prep_wait"] += time.perf_counter() - t0
         for f in retire_futs:

@@ -240,7 +240,7 @@ def test_fused_wire_has_no_labels():
     gen = PseudoLabelGenerator(m, cfg, plbl_type="cosprop_includeonehot",
                                max_protos=64)
     prep = gen.host_prep(batch, ds.suppix)
-    dev_args = gen._fused_args(batch, prep)
+    dev_args = gen._fused_args([batch], [prep])
     names = {e[0] for e in dev_args["layout"]}
     assert "labels" not in names
     spx_entry = [e for e in dev_args["layout"] if e[0] == "spx_flat"][0]

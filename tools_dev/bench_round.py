@@ -156,8 +156,11 @@ def bench_plbl():
         np.isin(np.arange(NSEG), np.unique(b["spx"])))[0].tolist()[:600]
         for i, b in enumerate(batches)}
 
-    # warm (compile all shapes)
+    # warm (compile all shapes: one full fused_batch group, plus the
+    # B=1 tail executable a 2975-image round would also hit)
     print("# compiling...", file=sys.stderr, flush=True)
+    gen.generate(state.params, state.batch_stats,
+                 batches[:gen.fused_batch], suppix=suppix)
     gen.generate(state.params, state.batch_stats, [batches[0]],
                  suppix=suppix)
     print("# warm, timing...", file=sys.stderr, flush=True)

@@ -53,7 +53,7 @@ def main(trace_dir):
     import jax.numpy as jnp
 
     prep = gen.host_prep(batch, suppix)
-    dev = gen._fused_args(batch, prep)
+    dev = gen._fused_args([batch], [prep])
     cm0 = jnp.zeros((C + 1, C + 1), jnp.int32)
 
     def run(cm):
