@@ -316,30 +316,55 @@ def run_al_rounds(cfg, active_set, *, val_dataset=None, eval_dataset=None,
                   init_checkpoint: Optional[str] = None,
                   metrics_cb=None) -> Dict[int, float]:
     """The stage-1 AL loop (train_AL.py:18-100): for each round select ->
-    train -> eval; fresh model every round when start_over."""
+    train -> eval; fresh model every round when start_over.
+
+    The multi-round weight policy follows train_AL.py exactly:
+      - round 1 == init_iteration: selection with init_checkpoint weights
+        (train_AL.py:47-49);
+      - round r>1, r != init_iteration: selection with the PREVIOUS
+        round's best-val checkpoint (train_AL.py:50-52 prevckpt_fname);
+      - round r>1 == init_iteration: selection with resume_checkpoint
+        (train_AL.py:53-55);
+      - start_over: training restarts from the init weights every round
+        (train_AL.py:74-75), otherwise it continues from the
+        selection-time weights;
+      - after training, the round's BEST-val checkpoint is loaded back
+        before eval (train_AL.py:80-81) so both the reported mIoU and
+        the next round's selection use the best model, not the last step.
+    """
     results = {}
     for selection_iter in range(cfg.init_iteration, cfg.max_iterations + 1):
         active_set.selection_iter = selection_iter
         trainer = ALTrainer(cfg, selection_iter, val_dataset=val_dataset,
                             eval_dataset=eval_dataset)
+        # the fresh-init state (random init, or init_checkpoint merged
+        # below): start_over restores it before training. jax arrays are
+        # immutable, so holding the reference is free.
+        if init_checkpoint:
+            trainer.load(init_checkpoint)
+        init_state = trainer.state
         if (selection_iter == cfg.init_iteration and selection_iter != 1
                 and cfg.resume_checkpoint):
             # resumed run: warm-start from the interrupted round's
             # checkpoint, optionally with optimizer state
             # (train_AL.py:53-55)
             trainer.load(cfg.resume_checkpoint, load_optim=cfg.load_optim)
-        else:
-            if cfg.resume_checkpoint and selection_iter == 1:
-                # round 1 never warm-starts — same silent rule as
-                # train_AL.py:53 (`selection_iter != 1`); say so instead
-                # of silently ignoring the flag (or_plbl runs still use
-                # it to locate the plbl_gen directory)
-                log.warning(
-                    "--resume-checkpoint is not loaded at round 1 "
-                    "(reference semantics); training from %s",
-                    init_checkpoint or "scratch")
-            if init_checkpoint:
-                trainer.load(init_checkpoint)
+        elif selection_iter != 1 and selection_iter != cfg.init_iteration:
+            # select with the previous round's best-val model
+            # (train_AL.py:50-52)
+            prev_ckpt = os.path.join(
+                cfg.model_save_dir, f"checkpoint{selection_iter - 1:02d}")
+            trainer.load(prev_ckpt, strip_classifier=False,
+                         load_optim=cfg.load_optim)
+        elif cfg.resume_checkpoint and selection_iter == 1:
+            # round 1 never warm-starts — same silent rule as
+            # train_AL.py:53 (`selection_iter != 1`); say so instead
+            # of silently ignoring the flag (or_plbl runs still use
+            # it to locate the plbl_gen directory)
+            log.warning(
+                "--resume-checkpoint is not loaded at round 1 "
+                "(reference semantics); training from %s",
+                init_checkpoint or "scratch")
         if (not cfg.skip_first_eval and eval_dataset is not None
                 and selection_iter == cfg.init_iteration):
             # sanity-check eval of the loaded weights before sampling,
@@ -352,9 +377,18 @@ def run_al_rounds(cfg, active_set, *, val_dataset=None, eval_dataset=None,
         selector.select_next_batch(trainer, active_set,
                                    cfg.active_selection_size)
         active_set.dump_datalist()
+        if cfg.start_over and trainer.state is not init_state:
+            # reinitialize to the init weights before training
+            # (train_AL.py:74-75); fresh optimizer state comes with it
+            trainer.state = init_state
         trainer.train(active_set, metrics_cb=metrics_cb)
         if trainer.val_dataset is None or trainer.best_iou == 0.0:
             trainer.save()
+        else:
+            # load the round's best-val checkpoint so eval (and the next
+            # round's selection, which re-reads this file) uses the best
+            # model instead of the last training step (train_AL.py:80-81)
+            trainer.load(trainer.checkpoint_file, strip_classifier=False)
         if eval_dataset is not None:
             miou, _ = trainer.eval()
             results[selection_iter] = miou
