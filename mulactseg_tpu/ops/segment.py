@@ -794,13 +794,31 @@ def _ssm_nchw_bwd(num_segments, temp, res, cts):
     coef = jnp.where(live, g.reshape(-1) * p_c, 0.0)
     b = safe // HW
     hw = safe % HW
-    # 2-D scatter into (B*C, HW), NOT a flat (B*C*HW,) buffer: the flat
-    # form's reshape back to (B, C, HW) crosses tilings (T(1024) ->
-    # T(8,128)) and XLA lowers it as an 80-iteration dynamic-slice +
-    # dynamic-update-slice copy loop — 10.5 ms/step of pure relayout in
-    # the round-4 trace (while.13 + dynamic-update-slice.22). From
-    # (B*C, HW) the reshape only splits the major axis, so it is a
-    # bitcast.
+    from mulactseg_tpu.ops.segment_pallas import NCHW_CHUNK
+
+    if _pallas_available() and C <= 128 and HW % NCHW_CHUNK == 0:
+        # one-kernel backward (segment_pallas.scatter_softmax_bwd_nchw):
+        # coefficients scatter into a FLAT buffer in the kernel's
+        # cell-major block order, so the scatter's linear T(1024) output
+        # is bitcast-readable by the kernel — no tiled relayout (the
+        # 2-D/3-D scatter forms all canonicalize to flat + an
+        # 80-iteration serial DUS copy loop, ~10.6 ms/step at stage-1
+        # shapes) and no multi-pass XLA softmax-backward chain (~4 ms).
+        from mulactseg_tpu.ops.segment_pallas import (
+            scatter_softmax_bwd_nchw,
+        )
+
+        G = HW // NCHW_CHUNK
+        cell = hw // NCHW_CHUNK
+        off = hw % NCHW_CHUNK
+        tgt = ((b * G + cell) * C + cls) * NCHW_CHUNK + off
+        tgt = jnp.where(live, tgt, B * C * HW)  # dead -> OOB, dropped
+        flat = jnp.zeros((B * C * HW,), jnp.float32).at[tgt].add(
+            coef, mode="drop", unique_indices=True)
+        dl = scatter_softmax_bwd_nchw(logits_cs, flat, temp,
+                                      interpret=_pallas_interpret())
+        return dl, None
+    # dense fallback (CPU / odd shapes): 2-D scatter + elementwise chain
     row = jnp.where(live, b * C + cls, B * C)  # dead -> OOB, dropped
     dl_elem = jnp.zeros((B * C, HW), jnp.float32).at[row, hw].add(
         coef, mode="drop", unique_indices=True).reshape(B, C, HW)

@@ -588,6 +588,69 @@ def scatter_softmax_max_nchw(logits_cs, sid3, temp: float,
     return jnp.where(pix == P, 0.0, mx), pix
 
 
+# ---------------------------------------------------------------------------
+# NCHW group-term BACKWARD: dl = (dl_elem - (sum_c dl_elem) * sm) / temp in
+# ONE pure-vector kernel, with the sparse dl_elem delivered as a FLAT
+# scatter buffer whose linear order IS the kernel's block order.
+#
+# The straightforward XLA form (scatter into (B*C, HW) or (B, C, HW) +
+# elementwise chain) costs ~15 ms/step at stage-1 shapes: XLA canonicalizes
+# every scatter to a FLAT f32 buffer in linear T(1024) layout, and the
+# reshape to the tiled (8,128) consumer lowers as an 80-iteration serial
+# dynamic-slice/DUS copy loop (while.13 + dynamic-update-slice.22 in the
+# round-4/5 traces, ~10.6 ms) plus a multi-pass f32[4,20,589824] softmax
+# backward chain (~4 ms). The fix exploits one layout identity: an (M, 128)
+# f32 array under the default (8,128) tiling is EXACTLY row-major linear
+# ((r//8)*1024 + (r%8)*128 + c == r*128 + c), so a flat buffer reshaped to
+# (M, 128) is a true bitcast. The caller therefore scatters coefficients at
+# cell-major flat offsets (((b*G + cell)*C + c)*CHUNK + off) and this
+# kernel reads each cell's contiguous (C*CHUNK//128, 128) rows directly —
+# no relayout anywhere — recomputing the per-pixel softmax in-register the
+# same way the forward kernel does.
+# ---------------------------------------------------------------------------
+
+
+def _ssm_bwd_nchw_kernel(lg_ref, dlm_ref, out_ref, *, inv_temp):
+    lg = lg_ref[0].astype(jnp.float32) * inv_temp      # (C, CHUNK)
+    m = jnp.max(lg, axis=0, keepdims=True)
+    e = jnp.exp(lg - m)
+    p = e / jnp.sum(e, axis=0, keepdims=True)          # per-pixel softmax
+    C, CH = p.shape
+    # (C*CHUNK//128, 128) rows -> logical (C, CHUNK): row r of the block
+    # holds flat elements [r*128, (r+1)*128) and the flat order is
+    # c*CHUNK + off, so this reshape only regroups sublanes/lanes
+    dlm = dlm_ref[...].reshape(C, CH)
+    w = jnp.sum(dlm, axis=0, keepdims=True)            # (1, CHUNK)
+    out_ref[0] = ((dlm - w * p) * inv_temp).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("temp", "interpret"))
+def scatter_softmax_bwd_nchw(logits_cs, dlm_flat, temp: float,
+                             interpret: bool = False):
+    """(B, C<=128, HW % NCHW_CHUNK == 0) logits + (B*C*HW,) f32 flat
+    dl_elem buffer in CELL-MAJOR order (flat index
+    ((b*(HW//NCHW_CHUNK) + hw//NCHW_CHUNK)*C + c)*NCHW_CHUNK
+    + hw%NCHW_CHUNK) -> (B, C, HW) dl in the logits dtype. See the module
+    comment above for why the buffer is flat."""
+    B, C, HW = logits_cs.shape
+    assert HW % NCHW_CHUNK == 0, HW
+    assert C <= LANES and NCHW_CHUNK % LANES == 0
+    G = HW // NCHW_CHUNK
+    blk_rows = C * NCHW_CHUNK // LANES
+    dlm2 = dlm_flat.reshape(B * G * blk_rows, LANES)   # bitcast (see above)
+    return pl.pallas_call(
+        functools.partial(_ssm_bwd_nchw_kernel, inv_temp=1.0 / temp),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, C, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+            pl.BlockSpec((blk_rows, LANES), lambda b, i: (b * G + i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, C, NCHW_CHUNK), lambda b, i: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((B, C, HW), logits_cs.dtype),
+        interpret=interpret,
+    )(logits_cs, dlm2)
+
+
 @functools.partial(jax.jit, static_argnames=("R", "temp", "interpret"))
 def prereduce_softmax_nchw(logits_cs, sid3, R: int, temp: float,
                            interpret: bool = False):

@@ -94,3 +94,71 @@ def test_group_loss_grad_unchanged_by_fast_path():
     fd = (float(f(logits + eps * d)) - float(f(logits - eps * d))) / (2 * eps)
     np.testing.assert_allclose(float((np.asarray(g) * d).sum()), fd,
                                rtol=0.08, atol=5e-4)
+
+
+def test_scatter_softmax_bwd_nchw_matches_dense():
+    """The one-kernel NCHW group-term backward (flat cell-major scatter
+    buffer + in-register softmax recompute) against the dense fallback
+    formula of segment.py _ssm_nchw_bwd, and through the full VJP wiring
+    (index computation included)."""
+    from mulactseg_tpu.ops import segment as seg
+    from mulactseg_tpu.ops.segment_pallas import (
+        NCHW_CHUNK,
+        scatter_softmax_bwd_nchw,
+    )
+
+    rng = np.random.RandomState(3)
+    B, C, HW, nseg = 2, 5, 2 * NCHW_CHUNK, 16
+    S = B * nseg
+    temp = 0.1
+    logits = jnp.asarray(rng.randn(B, C, HW), jnp.float32)
+    G = HW // NCHW_CHUNK
+
+    # sparse entries: a random subset of (segment, class) argmax pixels
+    pix = np.full((S, C), B * HW, np.int32)
+    coef = np.zeros((S, C), np.float32)
+    live = rng.rand(S, C) < 0.6
+    pix[live] = rng.randint(0, B * HW, size=int(live.sum()))
+    coef[live] = rng.randn(int(live.sum())).astype(np.float32)
+
+    # dense reference
+    dense = np.zeros((B, C, HW), np.float32)
+    for s in range(S):
+        for c in range(C):
+            p = pix[s, c]
+            if p < B * HW:
+                dense[p // HW, c, p % HW] += coef[s, c]
+    sm = np.asarray(jax.nn.softmax(logits / temp, axis=1))
+    want = (dense - dense.sum(1, keepdims=True) * sm) / temp
+
+    # kernel path: flat cell-major buffer
+    flat = np.zeros(B * C * HW, np.float32)
+    for s in range(S):
+        for c in range(C):
+            p = pix[s, c]
+            if p < B * HW:
+                b, hw = p // HW, p % HW
+                cell, off = hw // NCHW_CHUNK, hw % NCHW_CHUNK
+                flat[((b * G + cell) * C + c) * NCHW_CHUNK + off] += \
+                    coef[s, c]
+    got = scatter_softmax_bwd_nchw(logits, jnp.asarray(flat), temp,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    # full VJP wiring: _ssm_nchw_bwd builds the same flat buffer from the
+    # residuals; vals at the argmax mirror the forward contract
+    vals = np.zeros((S, C), np.float32)
+    vals[live] = rng.rand(int(live.sum())).astype(np.float32)
+    g_ct = np.zeros((S, C), np.float32)
+    g_ct[live] = rng.randn(int(live.sum())).astype(np.float32)
+    res = (logits, jnp.asarray(vals), jnp.asarray(pix))
+    cts = (jnp.asarray(g_ct), jnp.zeros((S, C), jnp.int32))
+    dl_dense, _ = seg._ssm_nchw_bwd(S, temp, res, cts)
+    import os
+    os.environ["MULACTSEG_FORCE_PALLAS_INTERPRET"] = "1"
+    try:
+        dl_pallas, _ = seg._ssm_nchw_bwd(S, temp, res, cts)
+    finally:
+        del os.environ["MULACTSEG_FORCE_PALLAS_INTERPRET"]
+    np.testing.assert_allclose(np.asarray(dl_pallas), np.asarray(dl_dense),
+                               rtol=1e-5, atol=1e-5)
