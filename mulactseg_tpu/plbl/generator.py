@@ -168,15 +168,19 @@ class PseudoLabelGenerator:
         self.plbl_type = plbl_type
         self.use_tta = use_tta
         self.max_protos = max_protos
-        # images per fused dispatch: the ~75 ms dispatch latency of this
-        # tunnel amortizes over the group, and the B-image forward keeps
-        # the MXU busier than two B=1 forwards. 2 is the HBM-safe default
-        # at 1024x2048 (two bf16 full-res feature tensors + the next
-        # group's arg buffer in flight); the odd tail of a round runs as
-        # one B=1 dispatch (its own cached executable).
+        # images per fused dispatch. DEFAULT 1: grouping 2 full-res
+        # (1024x2048) images into one dispatch measured 1.118 img/s vs
+        # 2.506 for B=1 on the same commit (tools_dev/bench_round.py
+        # plbl, 2026-08-21) — the group's two bf16 full-res feature
+        # tensors push the program past the chip's HBM working set and
+        # XLA serializes/spills, costing far more than the ~75 ms
+        # dispatch latency the group saves. The group path stays
+        # available (MULACTSEG_PLBL_BATCH=N) for chips with more HBM;
+        # the odd tail of a round runs as one B=1 dispatch (its own
+        # cached executable).
         self.fused_batch = int(
             fused_batch if fused_batch is not None
-            else os.environ.get("MULACTSEG_PLBL_BATCH", "2"))
+            else os.environ.get("MULACTSEG_PLBL_BATCH", "1"))
         # bf16 feature hand-off when the network computes in bf16 anyway:
         # the full-res upsample writes half the bytes and the cosine
         # kernel's bf16 scan reads them directly. Applied to BOTH the
