@@ -44,15 +44,21 @@ class ALTrainer:
     model + state for one AL round."""
 
     def __init__(self, cfg, selection_iter: int, val_dataset=None,
-                 eval_dataset=None, rng: Optional[jax.Array] = None):
+                 eval_dataset=None, rng: Optional[jax.Array] = None,
+                 model=None):
         self.cfg = cfg
         self.selection_iter = selection_iter
         self.best_iou = 0.0
         dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(cfg.dtype)
-        self.model = get_model(cfg.model, num_classes=cfg.num_model_classes,
-                               output_stride=cfg.output_stride,
-                               separable_conv=cfg.separable_conv,
-                               dtype=dtype)
+        # model injection: tests and the multichip dryrun pass a small
+        # network so the (CPU-)compile cost of exercising the REAL
+        # trainer path stays bounded; production always builds from
+        # cfg.model
+        self.model = model if model is not None else get_model(
+            cfg.model, num_classes=cfg.num_model_classes,
+            output_stride=cfg.output_stride,
+            separable_conv=cfg.separable_conv,
+            dtype=dtype)
         rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
         self.rng, init_rng = jax.random.split(rng)
         h, w = cfg.crop_size
