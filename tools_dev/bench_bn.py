@@ -59,6 +59,19 @@ def stats_bf16sq(x):
     return m, jnp.maximum(m2 - jnp.square(m), 0.0)
 
 
+def stats_einsum(x):
+    # FastBatchNorm today (models/layers.py:83-87): converting-reduce mean
+    # + self-contraction for E[x^2] (bf16 products exact in the f32
+    # accumulator)
+    axes = tuple(range(x.ndim - 1))
+    n = float(np.prod([x.shape[a] for a in axes]))
+    m = jnp.sum(x, axis=axes, dtype=jnp.float32) / n
+    xf = x.reshape(-1, x.shape[-1])
+    m2 = jnp.einsum("pc,pc->c", xf, xf,
+                    preferred_element_type=jnp.float32) / n
+    return m, jnp.maximum(m2 - jnp.square(m), 0.0)
+
+
 def bn_apply(stats_fn, x, scale, bias):
     m, v = stats_fn(x)
     a = scale * jax.lax.rsqrt(v + 1e-5)
@@ -104,7 +117,7 @@ def main():
     total_mb = sum(np.prod(x.shape) * 2 for x in xs) / 1e6
     print(f"{len(xs)} tensors, {total_mb:.0f} MB bf16 total")
     for name, fn in [("current", stats_current), ("convred", stats_convred),
-                     ("bf16sq", stats_bf16sq)]:
+                     ("bf16sq", stats_bf16sq), ("einsum", stats_einsum)]:
         bench(name, fn, xs, params)
 
 
