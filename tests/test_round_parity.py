@@ -37,3 +37,26 @@ def test_full_round_parity():
     s2 = rep["stage2"]
     assert s2["step0_rel"] < 1e-3, s2
     assert s2["miou_gap"] <= 1.0, s2
+
+
+def test_multi_round_parity():
+    """FREE-RUNNING multi-round protocol (train_AL.py:37-82 x
+    --max_iterations): no weight sync between rounds — each side
+    compounds its own numeric noise, and the assertable invariants are
+    outcomes, not trajectories (the temp-0.1 loss amplifies float noise
+    ~x30/step, see tools_dev/round_parity_multi.py). Bounds calibrated
+    2026-08-21 (rounds=5: jaccard 1.0 every round, step0 <=1.5e-5,
+    synced plbl >=0.9955, final mIoU gap 2.11 with each side trained on
+    its OWN drift-divergent plbl maps)."""
+    from tools_dev.round_parity_multi import run
+
+    rep = run(rounds=3, steps1=8, steps2=12, verbose=False)
+    for row in rep["rounds"]:
+        # the product claim: same regions chosen every round, even with
+        # fully decorrelated weights
+        assert row["selection_jaccard"] == 1.0, row
+        # shared init + own labeled set: tight iff selection + loss agree
+        assert row["stage1_step0_rel"] < 1e-3, row
+        # plbl implementation pinned at this round's drifted weights
+        assert row["plbl_agreement_synced"] >= 0.99, row
+    assert rep["final"]["miou_gap"] <= 5.0, rep["final"]
