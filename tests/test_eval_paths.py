@@ -2,6 +2,7 @@
 driven end-to-end on the synthetic fixture."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from PIL import Image
@@ -37,6 +38,7 @@ def test_window_grid_covers_image():
     assert (cover > 0).all()
 
 
+@pytest.mark.slow
 def test_sliding_eval_matches_direct_on_small_image():
     # image smaller than one crop: sliding == direct forward
     m, v = _init()

@@ -160,6 +160,7 @@ def test_pixel_partial_ce_pallas_interpret():
                                rtol=5e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_ssm_block_prereduction_parity():
     """The raster-block pre-reduction inside the pallas _ssm_impl path
     (ops/segment.py _BLOCK) must match the CPU fallback exactly: same max
@@ -459,6 +460,7 @@ def test_scatter_softmax_max_nchw_underflow_zero_probs():
                                rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_segment_softmax_max_nchw_scatter_grad_matches_dense():
     """The NCHW entry point on the scatter path (opt-in) agrees with
     the dense fallback in value and gradient — pins the custom-VJP wiring
@@ -521,6 +523,7 @@ def test_segment_softmax_max_nchw_dense_fallback():
     np.testing.assert_array_equal(np.asarray(pix), np.asarray(want_pix))
 
 
+@pytest.mark.slow
 def test_scatter_softmax_max_nchw_production_shape():
     """Scatter kernel at production-like structure: C=20 classes, B=2,
     irregular SEEDS-like runs over 2 chunks, ~64 segments/image with some

@@ -153,6 +153,7 @@ def mseg_disk(tmp_path):
     return root, levels, C, datalists, region_dicts, mh, file_ids
 
 
+@pytest.mark.slow
 def test_mseg_end_to_end_round(mseg_disk, tmp_path):
     root, levels, C, datalists, region_dicts, mh, file_ids = mseg_disk
     cfg = Config(num_classes=C, nseg=levels[-1], nseg_list=levels,

@@ -37,6 +37,7 @@ def test_run_al_rounds_8dev_dp(tmp_path):
     assert 1 in results and np.isfinite(results[1])
 
 
+@pytest.mark.slow
 def test_dp_state_replicated_and_pool_scoring_pads(tmp_path):
     cfg = dp_cfg(tmp_path)
     trainer = ALTrainer(cfg, selection_iter=1)

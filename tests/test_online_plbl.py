@@ -3,6 +3,7 @@ a brute-force transcription (active_onlineplbl_multi_predignore.py:26-125)
 and a full train step through the online criterion."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -81,6 +82,7 @@ def test_local_proto_ce_ignores_and_nan_guard():
     assert float(local_proto_ce(logits, plbl2)) > 0
 
 
+@pytest.mark.slow
 def test_online_criterion_train_step():
     from mulactseg_tpu.config import Config
     from mulactseg_tpu.engine.state import create_train_state

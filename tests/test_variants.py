@@ -21,9 +21,13 @@ def tiny_model(num_classes):
         classifier=DeepLabHeadV3Plus(num_classes, (2, 4, 6), variant="wn"))
 
 
-@pytest.mark.parametrize("method", ["active_joint_hier_multi",
-                                    "active_joint_hier_multi_async",
-                                    "active_joint_hier_multi_async_weight"])
+@pytest.mark.parametrize("method", [
+    "active_joint_hier_multi",
+    # the async pair each compile their own two-forward train step
+    # (~34 s/CPU); the base hier case keeps the family in the fast suite
+    pytest.param("active_joint_hier_multi_async", marks=pytest.mark.slow),
+    pytest.param("active_joint_hier_multi_async_weight",
+                 marks=pytest.mark.slow)])
 def test_hier_methods_train_step(method):
     from mulactseg_tpu.engine.state import create_train_state
     from mulactseg_tpu.engine.train import make_train_step
